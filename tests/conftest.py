@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+The production environment exposes a single real TPU chip; multi-chip
+sharding logic is validated on a virtual CPU mesh, exactly as the driver's
+dryrun does. Setting the platform before any JAX computation runs is
+sufficient even though the TPU plugin self-registers at interpreter start.
+
+Set CORENET_TEST_TPU=1 to run the suite against the real TPU instead
+(single device; mesh tests will skip).
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+  os.environ["XLA_FLAGS"] = (
+      os.environ["XLA_FLAGS"] + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+if not os.environ.get("CORENET_TEST_TPU"):
+  jax.config.update("jax_platforms", "cpu")
