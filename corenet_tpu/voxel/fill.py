@@ -1,0 +1,99 @@
+"""Interior flood fill of voxel grids — TPU-native, jittable.
+
+Semantics match the reference's connected-components ops
+(/root/reference/src/corenet/cc/fill_voxels_cpu.cc:74-155 and
+fill_voxels_gpu.cu:136-171): empty regions (value == 0) that do NOT touch
+the grid boundary are "inside" and get filled; the output is binary —
+1 for occupied-or-inside voxels, 0 for boundary-connected empty space —
+in the input dtype. (The reference pipeline only ever feeds binary grids,
+so output==1 for occupied voxels is a no-op there.)
+
+Union-find does not map onto XLA. Instead we compute the boundary-connected
+empty region ("outside") by morphological reconstruction: seed with empty
+boundary voxels, then propagate through empty voxels to a fixpoint. Each
+round runs 6 directional sweeps (±x, ±y, ±z), each sweep a log-depth
+`lax.associative_scan` of the gated prefix-OR recurrence
+    r[i] = empty[i] & (r[i-1] | seed[i])
+so straight-line reachability is resolved in one shot per direction, and a
+`lax.while_loop` iterates rounds until no voxel changes. Convergence takes
+O(#turns in the winding-est cavity) rounds — a handful for real meshes —
+and every step is dense VPU work on [N, D, H, W] masks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _gated_prefix_or(seed: jnp.ndarray, empty: jnp.ndarray,
+                     axis: int, reverse: bool) -> jnp.ndarray:
+  """Computes r[i] = empty[i] & (r[i-1] | seed[i]) along `axis`.
+
+  The recurrence r_i = (A_i & r_{i-1}) | B_i with A = empty, B = empty & seed
+  is associative under (A2,B2)∘(A1,B1) = (A1&A2, (B1&A2)|B2).
+  """
+  a = empty
+  b = jnp.logical_and(empty, seed)
+
+  def combine(left, right):
+    al, bl = left
+    ar, br = right
+    return jnp.logical_and(al, ar), jnp.logical_or(jnp.logical_and(bl, ar), br)
+
+  _, r = jax.lax.associative_scan(combine, (a, b), axis=axis, reverse=reverse)
+  return r
+
+
+def _outside_mask(empty: jnp.ndarray) -> jnp.ndarray:
+  """Empty voxels 6-connected to the grid boundary through empty voxels.
+
+  empty: bool[N, D, H, W]
+  """
+  n, d, h, w = empty.shape
+
+  def boundary(axis):
+    idx = jnp.arange(empty.shape[axis])
+    size = empty.shape[axis]
+    m = (idx == 0) | (idx == size - 1)
+    shape = [1, 1, 1, 1]
+    shape[axis] = size
+    return m.reshape(shape)
+
+  seed = jnp.zeros_like(empty)
+  for axis in (1, 2, 3):
+    seed = seed | (empty & boundary(axis))
+
+  def round_fn(outside):
+    for axis in (1, 2, 3):
+      outside = outside | _gated_prefix_or(outside, empty, axis, False)
+      outside = outside | _gated_prefix_or(outside, empty, axis, True)
+    return outside
+
+  def cond(state):
+    _, changed = state
+    return changed
+
+  def body(state):
+    outside, _ = state
+    new = round_fn(outside)
+    return new, jnp.any(new != outside)
+
+  outside, _ = jax.lax.while_loop(cond, body, (seed, jnp.array(True)))
+  return outside
+
+
+def fill_inside_voxels(grid: jnp.ndarray) -> jnp.ndarray:
+  """Fills interior empty regions of voxel grids.
+
+  Args:
+    grid: Voxel grids, numeric[N, D, H, W]; a voxel is occupied iff > 0.
+
+  Returns:
+    Binary grids in the input dtype: 1 where occupied or enclosed-empty,
+    0 where empty and connected to the boundary.
+  """
+  assert grid.ndim == 4
+  empty = grid <= 0
+  outside = _outside_mask(empty)
+  return jnp.logical_not(outside).astype(grid.dtype)
