@@ -1,0 +1,83 @@
+"""Benchmark: training-step throughput of the flagship 128³ model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "scenes/sec/chip", "vs_baseline": N}
+
+Measures the steady-state full training step — on-device GT voxelization
+(triangle rasterize + interior fill) → CoreNet forward → loss → Adam —
+for the h5/h7 configuration (FG_BG, 128³ decode, 256² images, batch 4)
+on one chip.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
+the denominator is an 8 scenes/sec estimate for the reference's
+synchronous-DDP step on one V100 (batch 4; GL voxelize + CUDA fill +
+ResNet50+3D-decoder fwd/bwd) — the ≥5× target of BASELINE.json then
+corresponds to vs_baseline ≥ 5.
+"""
+
+import json
+import time
+
+import numpy as np
+
+V100_BASELINE_SCENES_PER_SEC = 8.0
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+  from corenet_tpu.models.corenet import CoreNet, CoreNetConfig, DecoderConfig
+  from corenet_tpu.parallel import mesh as mesh_lib
+  from corenet_tpu.train import state as state_lib
+  from corenet_tpu.train.step import make_train_step
+  from __graft_entry__ import _example_inputs
+
+  resolution = (128, 128, 128)
+  batch = 4
+  model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
+      resolution=resolution, num_output_channels=2)))
+  optimizer = state_lib.create_optimizer()
+
+  mesh = mesh_lib.create_mesh()
+  inputs = _example_inputs(batch, 256, resolution, num_tri=2048)
+
+  with mesh:
+    init_image = jnp.zeros((1, 256, 256, 3), jnp.uint8)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), init_image, jnp.eye(4)[None],
+        jnp.full((1, 3), 0.5), train=False))()
+    state = state_lib.create_train_state(variables, optimizer)
+    state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, mesh_lib.replicated_sharding(mesh)),
+        state)
+    train_step = make_train_step(
+        model, optimizer, "FG_BG", resolution,
+        voxelization_kwargs=dict(image_resolution_multiplier=4,
+                                 max_bbox_pixels=24))
+    batch_on_mesh = mesh_lib.shard_batch(mesh, inputs)
+
+    # Warmup (compile + 2 steps).
+    for _ in range(3):
+      state, metrics = train_step(state, batch_on_mesh)
+    jax.block_until_ready((state, metrics))
+
+    num_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(num_steps):
+      state, metrics = train_step(state, batch_on_mesh)
+    jax.block_until_ready((state, metrics))
+    dt = time.perf_counter() - t0
+
+  n_chips = len(jax.devices())
+  scenes_per_sec_per_chip = batch * num_steps / dt / n_chips
+  print(json.dumps({
+      "metric": "train_scenes_per_sec_per_chip_128cubed",
+      "value": round(scenes_per_sec_per_chip, 3),
+      "unit": "scenes/sec/chip",
+      "vs_baseline": round(
+          scenes_per_sec_per_chip / V100_BASELINE_SCENES_PER_SEC, 3),
+  }))
+
+
+if __name__ == "__main__":
+  main()

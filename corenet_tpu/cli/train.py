@@ -1,0 +1,77 @@
+"""Training entry point.
+
+Replaces the reference's dist_launch + train.py pair
+(/root/reference/src/dist_launch.py, /root/reference/src/train.py): there
+is no per-GPU subprocess spawning — one SPMD process per host, with
+`jax.distributed.initialize()` wiring multi-host meshes. Retry/elastic
+recovery is restart-from-last-checkpoint (the pipeline resumes from the
+newest checkpoint and re-derives the epoch position from the global
+step), matching the reference's recovery model; process supervision
+belongs to the cluster scheduler rather than a custom launcher.
+
+Usage:
+  python -m corenet_tpu.cli.train --config_path=cfg.json5 \
+      [-D key=value ...] [--set path=json ...] [-jq program ...] \
+      [--multihost]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List
+
+from corenet_tpu.config import TrainPipeline as TrainPipelineConfig
+from corenet_tpu.config import config_to_dict, load_config_file, parse_template_mapping
+from corenet_tpu.train.pipeline import RecurrentEvals, TrainPipeline
+from corenet_tpu.utils import flags
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class ProgramArgs:
+  config_path: str = flags.flag("Path to the JSON5 train pipeline config")
+  template_value: List[str] = flags.flag(
+      "key=value string template overrides", default=[], short_name="D",
+      repeated=True)
+  jq_transform: List[str] = flags.flag(
+      "jq programs applied to the raw config", default=[], short_name="jq",
+      repeated=True)
+  set: List[str] = flags.flag(
+      "dotted-path structural overrides, e.g. train.max_steps=1000",
+      default=[], repeated=True)
+  max_steps: int = flags.flag(
+      "Overrides config max_steps when >= 0", default=-1)
+  multihost: bool = flags.flag(
+      "Call jax.distributed.initialize() for multi-host meshes",
+      default=False)
+
+
+def main(argv=None):
+  logging.basicConfig(
+      level=logging.INFO,
+      format="%(levelname).1s%(asctime)s %(filename)s:%(lineno)d] "
+             "%(message)s")
+  args = flags.parse_flags(ProgramArgs, argv)
+
+  if args.multihost:
+    import jax
+    jax.distributed.initialize()
+
+  config = load_config_file(
+      args.config_path, TrainPipelineConfig,
+      jq_transforms=args.jq_transform, set_overrides=args.set,
+      template_overrides=parse_template_mapping(args.template_value))
+
+  pipeline = TrainPipeline(
+      config.train, config.output_path,
+      extra_metadata={"train_config": config_to_dict(config.train),
+                      "full_config": config_to_dict(config)})
+  evals = RecurrentEvals(config.eval, config.output_path)
+  max_steps = args.max_steps if args.max_steps >= 0 else None
+  pipeline.run(recurrent_evals=evals, max_steps=max_steps)
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,122 @@
+"""Evaluation pipeline: dataset → GT voxelize → inference → metrics → CSV.
+
+Mirrors the reference EvalPipeline
+(/root/reference/src/corenet/pipeline.py:279-343): a pluggable
+`inference_fn(image, camera, v2x, grid_offsets, output_resolution) → PMF`
+runs over a (optionally per-step reshuffled) eval dataset; GT grids are
+voxelized at the eval resolution; a confusion matrix accumulates and
+rank 0 writes `voxel_metrics.csv` + scalar summaries; returns mean IoU.
+
+TPU-native shape: GT voxelization runs on-device inside a jitted
+function; batches are padded to the configured batch size (with a
+validity mask instead of the reference's drop-last/pad-rank dance); each
+JAX process evaluates a contiguous shard of the dataset and the final
+confusion matrix reduces across hosts.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from corenet_tpu.config import config as cfg
+from corenet_tpu.data import batching
+from corenet_tpu.data.manager import DatasetManager
+from corenet_tpu.eval.results import QuantitativeResults
+from corenet_tpu.train import gt as gt_lib
+from corenet_tpu.utils import fs, misc
+
+log = logging.getLogger(__name__)
+
+# InferenceFn: (image u8[B,H,W,3], camera f32[B,4,4], v2x f32[B,4,4],
+#   grid_offsets f32[B,3], output_resolution (d,h,w)) → pmf [B,D,H,W,C]
+InferenceFn = Callable
+
+VOXELIZE_WINDOW_PIXELS = 24  # with triangle subdivision below
+
+
+def shard_range(n: int, num_shards: int, shard: int) -> Tuple[int, int]:
+  """Contiguous per-process shard (no padding — eval must not duplicate)."""
+  per = (n + num_shards - 1) // num_shards
+  lo = min(shard * per, n)
+  return lo, min(lo + per, n)
+
+
+class EvalPipeline:
+
+  def __init__(self,
+               eval_config: cfg.EvalConfig,
+               output_dir: str,
+               inference_fn: InferenceFn,
+               write_results: bool = True):
+    self.config = eval_config
+    self.output_dir = output_dir
+    self.inference_fn = inference_fn
+    self.write_results = write_results
+    self.dataset_manager = DatasetManager(eval_config.data)
+    self.classes = self.dataset_manager.classes
+
+  def _gt_fn(self, vc: cfg.VoxelizationConfig, batch_size: int):
+    resolution = vc.resolution.as_tuple()
+    return jax.jit(functools.partial(
+        gt_lib.voxelize_batch,
+        resolution=resolution,
+        sub_grid_sampling=vc.sub_grid_sampling,
+        image_resolution_multiplier=vc.voxelization_image_resolution_multiplier,
+        conservative_rasterization=vc.conservative_rasterization,
+        projection_depth_multiplier=vc.voxelization_projection_depth_multiplier,
+        max_bbox_pixels=VOXELIZE_WINDOW_PIXELS,
+    ))
+
+  def run_eval(self, global_step: int,
+               max_scenes: Optional[int] = None) -> Optional[float]:
+    vc = self.config.data.voxelization_config
+    task_type = vc.task_type.value
+    resolution = vc.resolution.as_tuple()
+    batch_size = self.config.data.data_loader.batch_size
+
+    dataset = self.dataset_manager.create_dataset(local_seed=global_step)
+    if max_scenes is not None:
+      dataset = dataset[:max_scenes]
+    lo, hi = shard_range(len(dataset), jax.process_count(),
+                         jax.process_index())
+    shard = dataset[lo:hi]
+    log.info("Eval '%s' @ step %d: %d scenes (shard %d-%d of %d)",
+             self.config.name, global_step, len(shard), lo, hi, len(dataset))
+
+    quantitative = QuantitativeResults(self.classes, task_type)
+    gt_fn = self._gt_fn(vc, batch_size)
+    # Subdivide so every triangle fits the voxelizer's sampling window.
+    m = max(resolution)
+    irm = vc.voxelization_image_resolution_multiplier
+    max_edge_view = (VOXELIZE_WINDOW_PIXELS / irm) / m * 0.9
+
+    for start in range(0, len(shard), batch_size):
+      elements = [shard[i] for i in range(start,
+                                          min(start + batch_size, len(shard)))]
+      valid = np.zeros([batch_size], bool)
+      valid[:len(elements)] = True
+      while len(elements) < batch_size:  # pad with the first element
+        elements.append(elements[0])
+      hb = batching.batch(elements, max_edge_view=max_edge_view)
+      inputs = hb.step_inputs(task_type)
+      grid, v2x = gt_fn(inputs["triangles"], inputs["tri_mesh_slot"],
+                        inputs["tri_valid"], inputs["mesh_labels"],
+                        inputs["grid_offset"])
+      pmf = self.inference_fn(jnp.asarray(hb.image), jnp.asarray(hb.camera),
+                              v2x, jnp.asarray(hb.grid_offset), resolution)
+      fg_labels = hb.mesh_labels[:, 0]
+      quantitative.add_batch(pmf, grid, fg_labels, valid)
+
+    df = quantitative.compute_metrics()
+    if jax.process_index() == 0 and self.write_results:
+      out_dir = fs.join(self.output_dir, self.config.name, str(global_step))
+      quantitative.write_csv(fs.join(out_dir, "voxel_metrics.csv"))
+      log.info("Eval '%s' mIoU=%.4f", self.config.name,
+               quantitative.get_mean_iou())
+    return quantitative.get_mean_iou() if df is not None else None

@@ -1,0 +1,67 @@
+"""Top-level CoreNet model: image → 3D voxel-grid logits.
+
+Mirrors /root/reference/src/corenet/model/core_net.py:25-61. Inputs are
+channel-last: uint8 image [B, H, W, 3], voxel→screen matrix [B, 4, 4],
+grid sampling offsets [B, 3]. Output: logits [B, D, H, W, C].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from corenet_tpu.models.decoder import ReconstructionDecoder
+from corenet_tpu.models.resnet50 import (
+    ResNet50FeatureExtractor,
+    preprocess_image_caffe,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+  """Decoder hyper-parameters (configuration.py:277-294)."""
+  resolution: Tuple[int, int, int]  # (depth, height, width)
+  num_output_channels: int
+  last_upscale_factor: int = 2
+  latent_channels: int = 64
+  skip_fraction: float = 0.75
+
+
+@dataclasses.dataclass(frozen=True)
+class CoreNetConfig:
+  decoder: DecoderConfig
+
+
+class CoreNet(nn.Module):
+  config: CoreNetConfig
+
+  @nn.compact
+  def __call__(self, image: jnp.ndarray,
+               voxel_projection_matrix: jnp.ndarray,
+               voxel_sample_locations: jnp.ndarray,
+               train: bool = False) -> jnp.ndarray:
+    """Forward pass.
+
+    Args:
+      image: uint8[B, H, W, 3] RGB input render.
+      voxel_projection_matrix: float32[B, 4, 4], voxel → screen.
+      voxel_sample_locations: float32[B, 3], in-voxel sample offsets.
+      train: Whether batch statistics are updated (mutable 'batch_stats').
+
+    Returns:
+      Grid logits, float32[B, depth, height, width, num_output_channels].
+    """
+    x = preprocess_image_caffe(image)
+    features = ResNet50FeatureExtractor(name="encoder")(x, train)
+    dc = self.config.decoder
+    return ReconstructionDecoder(
+        resolution=tuple(dc.resolution),
+        num_output_channels=dc.num_output_channels,
+        last_upscale_factor=dc.last_upscale_factor,
+        latent_channels=dc.latent_channels,
+        skip_fraction=dc.skip_fraction,
+        name="decoder")(features, voxel_projection_matrix,
+                        voxel_sample_locations, train)

@@ -1,0 +1,122 @@
+"""3D reconstruction decoder with ray-traced skip connections.
+
+Structure mirrors the reference ReconstructionDecoder
+(/root/reference/src/corenet/model/reconstruction_decoder.py:29-152):
+latent 2048→L linear, concat (x, y, z) grid offsets, ConvTranspose3d to the
+initial grid, five {ReLU, BN, Conv3d, ReLU, BN, ConvTranspose3d} towers
+doubling resolution, with ray-traced skips concatenating
+round(C·skip_fraction) channels sampled from ResNet stages 5/5/4/3/2 after
+stages 1..5 (stage 1's skip is disabled, as in the reference), and a final
+ConvTranspose3d with stride last_upscale_factor to the output channels.
+
+The per-layer projection matrix reproduces the reference's
+voxel_projection_matrix @ scale(full_res / layer_res) with the (D, H, W)
+ratio vector applied to (x, y, z) coordinates (a quirk that is the identity
+for the cubic grids used everywhere; reconstruction_decoder.py:108-116).
+
+Layouts are channel-last (NDHWC); output logits are [B, D, H, W, C].
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from corenet_tpu.models import layers
+from corenet_tpu.models.batch_renorm import BatchRenorm
+from corenet_tpu.models.resnet50 import ResNet50Features
+from corenet_tpu.models.skip import SampleGrid2d
+
+
+def _bn(name=None):
+  return BatchRenorm(eps=1e-3, name=name)
+
+
+class ReconstructionDecoder(nn.Module):
+  resolution: Tuple[int, int, int]  # (depth, height, width)
+  num_output_channels: int
+  last_upscale_factor: int = 2
+  latent_channels: int = 64
+  skip_fraction: float = 0.75
+
+  def _skip_channels(self, c: int) -> int:
+    return round(c * self.skip_fraction)
+
+  @nn.compact
+  def __call__(self, image_features: ResNet50Features,
+               voxel_projection_matrix: jnp.ndarray,
+               voxel_sample_locations: jnp.ndarray,
+               train: bool) -> jnp.ndarray:
+    depth, height, width = self.resolution
+    div = 16 * self.last_upscale_factor
+    assert depth % div == 0 and height % div == 0 and width % div == 0
+    ir = (depth // div, height // div, width // div)
+
+    def apply_skip(x, src2d, stage):
+      if self._skip_channels(16) == 0 or stage == 1:
+        return x
+      skip_c = {2: 128, 3: 64, 4: 32, 5: 16}[stage]
+      out_channels = self._skip_channels(skip_c)
+      if out_channels == 0:
+        return x
+      b = src2d.shape[0]
+      o = jnp.broadcast_to(
+          voxel_sample_locations[:, None, None, :],
+          (b, src2d.shape[1], src2d.shape[2], 3))
+      src2d = jnp.concatenate([src2d, o], axis=-1)
+      layer_res = x.shape[1:4]
+      r = (jnp.array(self.resolution, jnp.float32) /
+           jnp.array(layer_res, jnp.float32))
+      layer_scale = jnp.diag(jnp.concatenate(
+          [r, jnp.ones([1], jnp.float32)]))
+      layer_matrix = voxel_projection_matrix @ layer_scale
+      skip = SampleGrid2d(out_channels, tuple(layer_res),
+                          name=f"rt_skip_{stage}")(
+                              src2d, layer_matrix, voxel_sample_locations)
+      return jnp.concatenate([x, skip], axis=-1)
+
+    imf = image_features
+    x = layers.Linear(self.latent_channels, name="stage_0")(
+        imf.global_average_2048)
+    x = jnp.concatenate([x, voxel_sample_locations], axis=-1)
+    x = x[:, None, None, None, :]  # [B, 1, 1, 1, latent+3]
+
+    # stage_1: ReLU, BN, ConvT(latent+3 → 256) emitting the ir³ seed grid.
+    # The reference hardcodes kernel 4 with stride=ir
+    # (reconstruction_decoder.py:51-54); on a 1³ input a ConvTranspose's
+    # output equals its kernel size, so the reference's seed is always 4³
+    # and its decoder only produces 64·last_upscale_factor grids (128³ for
+    # every trained config). Using kernel=ir is bit-identical there
+    # (ir = 4) and makes every other configured resolution actually come
+    # out of stage_6 at the configured size.
+    x = nn.relu(x)
+    x = _bn(name="stage_1_bn")(x, train)
+    x = layers.ConvTranspose(256, ir, ndim=3, stride=ir,
+                             name="stage_1_t")(x)
+    x = apply_skip(x, imf.stage5_2048, 1)
+
+    def tower(x, name, conv_c, conv_k, t_out, t_k, t_stride, t_pad, t_op):
+      x = nn.relu(x)
+      x = _bn(name=f"{name}_bn1")(x, train)
+      x = layers.Conv(conv_c, conv_k, ndim=3, padding=conv_k // 2,
+                      name=f"{name}_c")(x)
+      x = nn.relu(x)
+      x = _bn(name=f"{name}_bn2")(x, train)
+      x = layers.ConvTranspose(t_out, t_k, ndim=3, stride=t_stride,
+                               padding=t_pad, output_padding=t_op,
+                               name=f"{name}_t")(x)
+      return x
+
+    x = tower(x, "stage_2", 256, 3, 128, 3, 2, 1, 1)
+    x = apply_skip(x, imf.stage5_2048, 2)
+    x = tower(x, "stage_3", 128, 5, 64, 7, 2, 3, 1)
+    x = apply_skip(x, imf.stage4_1024, 3)
+    x = tower(x, "stage_4", 64, 5, 32, 7, 2, 3, 1)
+    x = apply_skip(x, imf.stage3_512, 4)
+    x = tower(x, "stage_5", 32, 5, 16, 7, 2, 3, 1)
+    x = apply_skip(x, imf.stage2_256, 5)
+    x = tower(x, "stage_6", 16, 5, self.num_output_channels, 7,
+              self.last_upscale_factor, 3, 1)
+    return x

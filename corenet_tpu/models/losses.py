@@ -1,0 +1,99 @@
+"""Training losses on voxel-grid logits, channel-last.
+
+Numeric parity with the reference (/root/reference/src/corenet/model/
+losses.py:19-179): soft-IoU on softmax probabilities with (C-1):1
+foreground weighting (iou_agnostic), foreground-collapsed soft-IoU with GT
+overlap clamping (iou_fgbg), mean softmax cross-entropy (xent), and the
+(1+iou)(1+xent) products used for SEMANTIC training.
+
+Shapes: gt_volume int[B, D, H, W]; logits float32[B, D, H, W, C];
+weights (optional) float32[B, D, H, W].
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _check(gt_volume, logits, weights):
+  assert logits.ndim == 5
+  b, d, h, w, _ = logits.shape
+  assert gt_volume.shape == (b, d, h, w)
+  if weights is not None:
+    assert weights.shape == (b, d, h, w)
+
+
+def iou_agnostic(gt_volume: jnp.ndarray, logits: jnp.ndarray,
+                 weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+  """Class-agnostic soft-IoU loss (losses.py:19-61)."""
+  _check(gt_volume, logits, weights)
+  c = logits.shape[-1]
+
+  gt = jax.nn.one_hot(gt_volume, c, dtype=jnp.float32)
+  pred = jax.nn.softmax(logits, axis=-1)
+  gt = gt[..., 1:]
+  pred = pred[..., 1:]
+
+  ones_weight = jnp.float32(c - 1)
+  final_weights = jnp.where(gt == 0, 1.0, ones_weight)
+  if weights is not None:
+    final_weights = final_weights * weights[..., None]
+
+  intersection = jnp.minimum(gt, pred) * final_weights
+  union = jnp.maximum(gt, pred) * final_weights
+  intersection = intersection.sum(axis=(1, 2, 3, 4))
+  union = union.sum(axis=(1, 2, 3, 4))
+  iou = intersection / jnp.where(union == 0, 1.0, union)
+  return 1.0 - iou.mean()
+
+
+def iou_fgbg(gt_volume: jnp.ndarray, logits: jnp.ndarray,
+             weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+  """Foreground/background soft-IoU loss (losses.py:64-114)."""
+  _check(gt_volume, logits, weights)
+  c = logits.shape[-1]
+
+  gt = jax.nn.one_hot(gt_volume, c, dtype=jnp.float32)
+  pred = jax.nn.softmax(logits, axis=-1)
+  pred = pred[..., 1:].sum(axis=-1)
+  gt = gt[..., 1:].sum(axis=-1)
+  gt = jnp.minimum(gt, 1.0)
+
+  intersection = jnp.minimum(gt, pred)
+  union = jnp.maximum(gt, pred)
+  if weights is not None:
+    intersection = intersection * weights
+    union = union * weights
+
+  b = logits.shape[0]
+  intersection = intersection.reshape(b, -1).sum(axis=1)
+  union = union.reshape(b, -1).sum(axis=1)
+  iou = intersection / jnp.where(union == 0, 1.0, union)
+  return 1.0 - iou.mean()
+
+
+def xent(gt_volume: jnp.ndarray, logits: jnp.ndarray,
+         weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+  """Mean softmax cross-entropy (losses.py:117-141)."""
+  _check(gt_volume, logits, weights)
+  log_probs = jax.nn.log_softmax(logits, axis=-1)
+  nll = -jnp.take_along_axis(
+      log_probs, gt_volume[..., None].astype(jnp.int32), axis=-1)[..., 0]
+  if weights is not None:
+    nll = nll * weights
+  return nll.mean()
+
+
+def xent_times_iou_agnostic(gt_volume, logits, weights=None):
+  """(1 + iou_agnostic)(1 + xent) (losses.py:144-160)."""
+  return ((1.0 + iou_agnostic(gt_volume, logits, weights)) *
+          (1.0 + xent(gt_volume, logits, weights)))
+
+
+def xent_times_iou_fgbg(gt_volume, logits, weights=None):
+  """(1 + iou_fgbg)(1 + xent) (losses.py:163-179)."""
+  return ((1.0 + iou_fgbg(gt_volume, logits, weights)) *
+          (1.0 + xent(gt_volume, logits, weights)))

@@ -1,0 +1,98 @@
+"""On-device ground-truth voxelization — inside the jitted train step.
+
+This is the TPU-native replacement for the reference's GT data path
+(/root/reference/src/corenet/data/batched_example.py:121-197:
+GL rasterize → CUDA flood fill → per-mesh Python label loop, with host⇄GPU
+copies in between). Here the whole thing is a jittable function of padded,
+static-shape, per-scene buffers, so it fuses into the training step and
+shards trivially over the 'data' mesh axis (each device voxelizes its own
+scenes; no cross-device traffic).
+
+Per-scene layout (produced by data/batching.py):
+  triangles      float32[T, 3, 3]   view-space, padded
+  tri_mesh_slot  int32[T]           mesh slot within the scene
+  tri_valid      bool[T]
+  mesh_labels    int32[M]           voxel value per mesh slot (0 = padding)
+  grid_offset    float32[3]         in-voxel sampling offset
+
+The world→voxel transform is scale(max(D,H,W)) (cubic, like
+batched_example.voxelize:157-160); the rasterizer gets it pre-composed
+with translate(grid_offset − 0.5) so voxels are tested at their sampled
+locations (batched_example.py:164-165).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from corenet_tpu.voxel.fill import fill_inside_voxels
+from corenet_tpu.voxel.voxelize import get_sub_grid_centers, voxelize_triangles
+
+
+def voxelize_scene(triangles: jnp.ndarray,
+                   tri_mesh_slot: jnp.ndarray,
+                   tri_valid: jnp.ndarray,
+                   mesh_labels: jnp.ndarray,
+                   grid_offset: jnp.ndarray,
+                   *,
+                   resolution: Tuple[int, int, int],
+                   sub_grid_sampling: bool = False,
+                   image_resolution_multiplier: float = 4,
+                   conservative_rasterization: bool = True,
+                   projection_depth_multiplier: int = 1,
+                   fill_inside: bool = True,
+                   max_bbox_pixels=None) -> jnp.ndarray:
+  """Voxelizes one scene into an int32[D, H, W] labeled grid."""
+  d, h, w = resolution
+  m = float(max(d, h, w))
+  num_mesh_slots = mesh_labels.shape[0]
+
+  # shifted_w2x = translate(grid_offset - 0.5) @ scale(m): scale then shift.
+  shift = grid_offset - 0.5
+  w2x = jnp.concatenate([
+      jnp.concatenate([jnp.eye(3, dtype=jnp.float32) * m, shift[:, None]],
+                      axis=1),
+      jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32),
+  ], axis=0)
+  view2voxel = jnp.broadcast_to(w2x, (num_mesh_slots, 4, 4))
+
+  mesh_grids = voxelize_triangles(
+      triangles, tri_mesh_slot, view2voxel, tri_valid,
+      num_meshes=num_mesh_slots, resolution=resolution,
+      sub_grid_sampling=sub_grid_sampling,
+      image_resolution_multiplier=image_resolution_multiplier,
+      conservative_rasterization=conservative_rasterization,
+      projection_depth_multiplier=projection_depth_multiplier,
+      max_bbox_pixels=max_bbox_pixels)
+
+  if fill_inside:
+    mesh_grids = fill_inside_voxels(mesh_grids)
+  if sub_grid_sampling:
+    mesh_grids = get_sub_grid_centers(mesh_grids)
+
+  labeled = mesh_grids * mesh_labels.astype(jnp.float32)[:, None, None, None]
+  return jnp.max(labeled, axis=0).astype(jnp.int32)
+
+
+def voxelize_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
+                   grid_offsets, **kwargs):
+  """vmap of voxelize_scene over a leading batch dimension.
+
+  Returns (grid int32[B, D, H, W], v2x float32[B, 4, 4]) where v2x is the
+  *unshifted* world→voxel transform scale(max(D,H,W)), matching the
+  v2x_transform the reference stores on the batch (batched_example.py:197)
+  and later inverts for the model's voxel→screen matrix (pipeline.py:220).
+  """
+  fn = functools.partial(voxelize_scene, **kwargs)
+  grid = jax.vmap(fn)(triangles, tri_mesh_slot, tri_valid, mesh_labels,
+                      grid_offsets)
+  d, h, w = kwargs["resolution"]
+  m = float(max(d, h, w))
+  b = triangles.shape[0]
+  v2x = jnp.broadcast_to(
+      jnp.diag(jnp.array([m, m, m, 1.0], jnp.float32)), (b, 4, 4))
+  return grid, v2x

@@ -1,0 +1,286 @@
+"""Training pipeline: state creation/resume, the step loop, checkpoint and
+recurrent-eval cadence.
+
+Orchestration parity with the reference TrainPipeline + train.py
+(/root/reference/src/corenet/pipeline.py:149-258,
+/root/reference/src/train.py:93-176): create-or-resume from the newest
+checkpoint (writer host creates + saves, other hosts read after a
+barrier), per-epoch dataset recreation derived from the global step,
+temp/persistent checkpoint tiers on StepEvent schedules, train-loss
+scalars every tensorboard_log_interval, recurrent evals at their
+StepEvent cadence with optional persistent checkpoints.
+
+TPU-native shape: one SPMD program over a ('data', 'space') mesh; the
+whole step (GT voxelize → fwd → loss → adam) is a single jitted call on
+sharded inputs; there is no DDP wrapper, launcher, or gradient hook —
+XLA's partitioner inserts the gradient reductions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from corenet_tpu.config import config as cfg
+from corenet_tpu.config.config import config_to_dict
+from corenet_tpu.data.loader import DataLoader, distributed_indices
+from corenet_tpu.data.manager import DatasetManager
+from corenet_tpu.eval.pipeline import EvalPipeline, VOXELIZE_WINDOW_PIXELS
+from corenet_tpu.eval.super_resolution import super_resolution_from_model
+from corenet_tpu.models.corenet import CoreNet, CoreNetConfig, DecoderConfig
+from corenet_tpu.parallel import mesh as mesh_lib
+from corenet_tpu.train import checkpoint as cpt_lib
+from corenet_tpu.train import state as state_lib
+from corenet_tpu.train.step import make_train_step
+from corenet_tpu.utils import fs, misc
+from corenet_tpu.utils.summary import SummaryWriter
+
+log = logging.getLogger(__name__)
+
+
+def model_config_from_train_config(config: cfg.TrainConfig,
+                                   num_classes: int) -> CoreNetConfig:
+  """Model config derivation (state.py:49-63): output channels =
+  num_classes for SEMANTIC / 2 for FG_BG; decoder resolution is the
+  voxelization resolution reversed (identity for the cubic grids used in
+  practice — reproduced verbatim)."""
+  vc = config.data.voxelization_config
+  num_channels = {
+      cfg.TaskType.SEMANTIC: num_classes,
+      cfg.TaskType.FG_BG: 2,
+  }[vc.task_type]
+  return CoreNetConfig(decoder=DecoderConfig(
+      resolution=vc.resolution.as_tuple()[::-1],
+      num_output_channels=num_channels,
+      last_upscale_factor=config.last_upscale_factor,
+      latent_channels=config.latent_channels,
+      skip_fraction=config.skip_fraction))
+
+
+class TrainPipeline:
+
+  def __init__(self, config: cfg.TrainConfig, output_path: str,
+               mesh=None, extra_metadata: Optional[Dict[str, Any]] = None):
+    self.config = config
+    self.output_path = output_path
+    self.mesh = mesh if mesh is not None else mesh_lib.create_mesh()
+    self.extra_metadata = extra_metadata or {}
+
+    data_axis = self.mesh.shape["data"]
+    per_host_batch = config.data.data_loader.batch_size
+    if per_host_batch % max(1, data_axis // jax.process_count()):
+      raise ValueError(
+          f"per-host batch_size={per_host_batch} must be divisible by the "
+          f"per-host 'data' mesh extent "
+          f"({data_axis // jax.process_count()})")
+
+    vc = config.data.voxelization_config
+    self.task_type = vc.task_type.value
+    self.resolution = vc.resolution.as_tuple()
+
+    self.dataset_manager = DatasetManager(config.data)
+    self.classes = self.dataset_manager.classes
+    self.model_config = model_config_from_train_config(
+        config, len(self.classes))
+    self.model = CoreNet(self.model_config)
+    self.optimizer = state_lib.create_optimizer(
+        config.initial_learning_rate, config.adam_epsilon)
+
+    irm = vc.voxelization_image_resolution_multiplier
+    self.train_step = make_train_step(
+        self.model, self.optimizer, self.task_type, self.resolution,
+        voxelization_kwargs=dict(
+            sub_grid_sampling=vc.sub_grid_sampling,
+            image_resolution_multiplier=irm,
+            conservative_rasterization=vc.conservative_rasterization,
+            projection_depth_multiplier=(
+                vc.voxelization_projection_depth_multiplier),
+            max_bbox_pixels=VOXELIZE_WINDOW_PIXELS,
+        ))
+    m = max(self.resolution)
+    self.max_edge_view = (VOXELIZE_WINDOW_PIXELS / irm) / m * 0.9
+
+    self.cpt_manager = cpt_lib.CheckpointManager(fs.join(output_path, "cpt"))
+    self.tb_writer = (SummaryWriter(fs.join(output_path, "tb", "train"))
+                      if jax.process_index() == 0 else None)
+    self.state: Optional[state_lib.TrainState] = None
+
+  # ------------------------------------------------------------ state ----
+  def _init_variables(self):
+    """Initializes model variables with dummy inputs (shapes only)."""
+    d, h, w = self.resolution
+    import jax.numpy as jnp
+    image = jnp.zeros((1, 256, 256, 3), jnp.uint8)
+    proj = jnp.eye(4, dtype=jnp.float32)[None]
+    loc = jnp.full((1, 3), 0.5, jnp.float32)
+    return jax.jit(lambda: self.model.init(
+        jax.random.PRNGKey(0), image, proj, loc, train=False))()
+
+  def create_or_load_state(self) -> state_lib.TrainState:
+    if jax.process_index() == 0 and not self.cpt_manager.list_checkpoints():
+      log.info("No checkpoint found; creating initial state")
+      variables = self._init_variables()
+      variables = self._load_encoder_weights(variables)
+      state = state_lib.create_train_state(variables, self.optimizer)
+      self.cpt_manager.save_state(
+          state, extra_metadata=self._extra_metadata())
+    self._barrier("initial-checkpoint")
+
+    template = None
+    if self.state is None:
+      variables = self._init_variables()
+      template = state_lib.create_train_state(variables, self.optimizer)
+    loaded = self.cpt_manager.read_last_checkpoint(template)
+    assert loaded is not None
+    state, _, path = loaded
+    log.info("Loaded checkpoint %s (step %d)", path, int(state.global_step))
+    # Replicate across the mesh.
+    sharding = mesh_lib.replicated_sharding(self.mesh)
+    self.state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), state)
+    return self.state
+
+  def _extra_metadata(self) -> Dict[str, Any]:
+    meta = dict(self.extra_metadata)
+    meta.setdefault("train_config", config_to_dict(self.config))
+    meta.setdefault("classes", list(self.classes))
+    return meta
+
+  def _load_encoder_weights(self, variables):
+    """Loads the imported ResNet-50 ImageNet weights into the encoder
+    (state.py:68-70). Accepts our .npz tree from
+    cli/import_resnet50_checkpoint.py; missing path is an error unless
+    empty string (fresh encoder)."""
+    path = self.config.resnet50_imagenet_checkpoint
+    if not path:
+      return variables
+    from corenet_tpu.cli.import_resnet50_checkpoint import (
+        load_encoder_variables)
+    return load_encoder_variables(variables, path)
+
+  def _barrier(self, name: str):
+    if jax.process_count() > 1:
+      from jax.experimental import multihost_utils
+      multihost_utils.sync_global_devices(name)
+
+  # ------------------------------------------------------------- loop ----
+  def _global_batch_size(self) -> int:
+    per_host = self.config.data.data_loader.batch_size
+    # The reference's convention: batch_size is per worker; global step
+    # advances by world_size * batch (pipeline.py:230-233). Here: per
+    # process (host), times process count.
+    return per_host * jax.process_count()
+
+  def _epoch_loader(self, start_step: int) -> DataLoader:
+    dataset = self.dataset_manager.create_dataset_from_start_step(start_step)
+    # Contiguous per-process shard with wrap padding (train semantics).
+    idx = distributed_indices(len(dataset), jax.process_count(),
+                              jax.process_index(), pad_data=True,
+                              shuffle=False)
+    shard = dataset.select(idx)
+    dl_cfg = self.config.data.data_loader
+    return DataLoader(
+        shard, batch_size=dl_cfg.batch_size,
+        num_workers=dl_cfg.num_data_workers,
+        prefetch_factor=dl_cfg.prefetch_factor,
+        max_edge_view=self.max_edge_view,
+        random_grid_offset=self.config.random_grid_offset,
+        seed=start_step, drop_last=True)
+
+  def train_steps(self):
+    """Infinite generator of (global_step, metrics). Re-creates the
+    dataset each epoch from the current global step (resumable epochs,
+    pipeline.py:242-253)."""
+    assert self.state is not None, "call create_or_load_state() first"
+    while True:
+      start = int(self.state.global_step)
+      loader = self._epoch_loader(start)
+      got_batch = False
+      for hb, _ in loader:
+        got_batch = True
+        batch = hb.step_inputs(self.task_type)
+        batch = mesh_lib.shard_batch(self.mesh, batch)
+        self.state, metrics = self.train_step(self.state, batch)
+        yield int(self.state.global_step), metrics
+      if not got_batch:
+        raise RuntimeError("Empty training dataset")
+
+  def run(self, recurrent_evals: Optional["RecurrentEvals"] = None,
+          max_steps: Optional[int] = None):
+    """The main training loop with checkpoint/eval cadence
+    (train.py:138-176)."""
+    self.create_or_load_state()
+    config = self.config
+    ev_temp = misc.StepEvent(0, config.checkpoint_interval)
+    ev_persistent = misc.StepEvent(0, config.persistent_checkpoint_interval)
+    ev_tb = misc.StepEvent(0, config.tensorboard_log_interval)
+    limit = max_steps if max_steps is not None else config.max_steps
+
+    prev_step = int(self.state.global_step)
+    for step, metrics in self.train_steps():
+      if ev_tb.trigger(prev_step, step) and self.tb_writer:
+        loss = float(jax.device_get(metrics["loss"]))
+        self.tb_writer.add_scalar("loss", loss, step)
+        self.tb_writer.flush()
+        log.info("step %d loss %.5f", step, loss)
+
+      if jax.process_index() == 0:
+        if ev_persistent.trigger(prev_step, step):
+          self.cpt_manager.save_state(self.state, self._extra_metadata(),
+                                      persistent=True)
+        elif ev_temp.trigger(prev_step, step):
+          self.cpt_manager.save_state(self.state, self._extra_metadata())
+
+      if recurrent_evals is not None:
+        recurrent_evals.run(self, prev_step, step)
+
+      prev_step = step
+      if 0 <= limit <= step:
+        if jax.process_index() == 0:
+          self.cpt_manager.save_state(self.state, self._extra_metadata(),
+                                      persistent=True)
+        log.info("Reached max_steps=%d; stopping", limit)
+        return
+
+
+class RecurrentEvals:
+  """Scheduled evals during training (train.py:43-90)."""
+
+  def __init__(self, evals: List[cfg.RecurrentEvalConfig], output_path: str):
+    self.configs = evals
+    self.output_path = output_path
+    self.events = [
+        misc.StepEvent(e.start_step, e.interval) if e.start_step >= 0 else None
+        for e in evals
+    ]
+
+  def run(self, pipeline: TrainPipeline, prev_step: int, next_step: int,
+          force: bool = False):
+    for event, rec in zip(self.events, self.configs):
+      if not force and (event is None or
+                        not event.trigger(prev_step, next_step)):
+        continue
+      if rec.persistent_checkpoint and jax.process_index() == 0:
+        pipeline.cpt_manager.save_state(
+            pipeline.state, pipeline._extra_metadata(), persistent=True)
+      self.run_single(pipeline, rec.config, next_step)
+
+  def run_single(self, pipeline: TrainPipeline, eval_config: cfg.EvalConfig,
+                 step: int):
+    variables = {"params": pipeline.state.params,
+                 "batch_stats": pipeline.state.batch_stats}
+    native_res = pipeline.model_config.decoder.resolution
+    inference = super_resolution_from_model(
+        pipeline.model, variables, native_res)
+    evals_dir = fs.join(pipeline.output_path, "evals")
+    ep = EvalPipeline(eval_config, evals_dir, inference)
+    miou = ep.run_eval(step)
+    if pipeline.tb_writer is not None and miou is not None:
+      pipeline.tb_writer.add_scalar(f"eval/{eval_config.name}/mIoU", miou,
+                                    step)
+      pipeline.tb_writer.flush()
+    return miou

@@ -1,0 +1,120 @@
+"""The jitted training / eval step: GT voxelization → forward → loss →
+Adam update, one XLA program.
+
+Replaces the reference's _process_batch
+(/root/reference/src/corenet/pipeline.py:215-240), which round-trips
+host ↔ GPU between the GL voxelizer, CUDA flood fill, DDP forward/backward
+and the optimizer. Here everything after host batch assembly is a single
+compiled computation; under a ('data', 'space') mesh the batch dimension
+of every input is sharded and XLA inserts the gradient all-reduce
+(the DDP/NCCL equivalent) automatically.
+
+Loss selection per task matches pipeline.py:154-158: FG_BG → iou_fgbg,
+SEMANTIC → xent_times_iou_agnostic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from corenet_tpu.models import losses
+from corenet_tpu.train import gt
+from corenet_tpu.train.state import TrainState
+
+Batch = Dict[str, jnp.ndarray]
+
+
+def loss_fn_for_task(task_type: str) -> Callable:
+  if task_type == "FG_BG":
+    return losses.iou_fgbg
+  if task_type == "SEMANTIC":
+    return losses.xent_times_iou_agnostic
+  raise ValueError(f"Unknown task type {task_type!r}")
+
+
+def compute_v2s(camera_transform: jnp.ndarray,
+                v2x_transform: jnp.ndarray) -> jnp.ndarray:
+  """voxel→screen matrix: camera @ v2x⁻¹ (pipeline.py:220). The v2x used
+  everywhere is a pure diagonal scale, so invert it analytically."""
+  diag = jnp.concatenate(
+      [1.0 / jnp.diagonal(v2x_transform[..., :3, :3], axis1=-2, axis2=-1),
+       jnp.ones(v2x_transform.shape[:-2] + (1,), jnp.float32)], axis=-1)
+  inv = jnp.zeros_like(v2x_transform)
+  inv = jax.vmap(jnp.diag)(diag) if v2x_transform.ndim == 3 else jnp.diag(diag)
+  return camera_transform @ inv
+
+
+def make_train_step(model,
+                    optimizer: optax.GradientTransformation,
+                    task_type: str,
+                    resolution: Tuple[int, int, int],
+                    voxelization_kwargs: Optional[Dict[str, Any]] = None,
+                    donate: bool = True):
+  """Builds the jitted train step.
+
+  The returned function has signature (state, batch) → (state, metrics).
+  Batch keys (all leading dim = global batch, shardable over 'data'):
+    image          uint8[B, H, W, 3]
+    camera         float32[B, 4, 4]
+    triangles      float32[B, T, 3, 3]   (view space)
+    tri_mesh_slot  int32[B, T]
+    tri_valid      bool[B, T]
+    mesh_labels    int32[B, M]           (voxel value per mesh slot)
+    grid_offset    float32[B, 3]
+  Alternatively a precomputed 'grid' int32[B, D, H, W] (+ 'v2x') skips the
+  on-device voxelization (host-GT mode).
+  """
+  loss_fn = loss_fn_for_task(task_type)
+  vox_kwargs = dict(voxelization_kwargs or {})
+  vox_kwargs.setdefault("resolution", tuple(resolution))
+
+  def step(state: TrainState, batch: Batch):
+    if "grid" in batch:
+      grid, v2x = batch["grid"], batch["v2x"]
+    else:
+      grid, v2x = gt.voxelize_batch(
+          batch["triangles"], batch["tri_mesh_slot"], batch["tri_valid"],
+          batch["mesh_labels"], batch["grid_offset"], **vox_kwargs)
+    v2s = compute_v2s(batch["camera"], v2x)
+
+    def compute_loss(params):
+      logits, updates = model.apply(
+          {"params": params, "batch_stats": state.batch_stats},
+          batch["image"], v2s, batch["grid_offset"], train=True,
+          mutable=["batch_stats"])
+      return loss_fn(grid, logits), updates
+
+    (loss, updates), grads = jax.value_and_grad(
+        compute_loss, has_aux=True)(state.params)
+    opt_updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+    params = optax.apply_updates(state.params, opt_updates)
+    batch_size = batch["image"].shape[0]
+    new_state = state.replace(
+        global_step=state.global_step + batch_size,
+        params=params,
+        batch_stats=updates["batch_stats"],
+        opt_state=opt_state)
+    metrics = {"loss": loss}
+    return new_state, metrics
+
+  return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_forward(model,
+                      resolution: Tuple[int, int, int]):
+  """Jitted inference: image + camera + v2x + offsets → class PMF
+  [B, D, H, W, C] (softmax over channels), the InferenceFn contract of
+  pipeline.py:261-276 in channel-last form."""
+
+  def forward(variables, image, camera, v2x, grid_offset):
+    v2s = compute_v2s(camera, v2x)
+    logits = model.apply(variables, image, v2s, grid_offset, train=False)
+    return jax.nn.softmax(logits, axis=-1)
+
+  return jax.jit(forward)

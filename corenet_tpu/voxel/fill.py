@@ -26,23 +26,21 @@ import jax
 import jax.numpy as jnp
 
 
-def _gated_prefix_or(seed: jnp.ndarray, empty: jnp.ndarray,
-                     axis: int, reverse: bool) -> jnp.ndarray:
+def _gated_prefix_or(seed: jnp.ndarray, occupied_cumsum: jnp.ndarray,
+                     empty: jnp.ndarray, axis: int,
+                     reverse: bool) -> jnp.ndarray:
   """Computes r[i] = empty[i] & (r[i-1] | seed[i]) along `axis`.
 
-  The recurrence r_i = (A_i & r_{i-1}) | B_i with A = empty, B = empty & seed
-  is associative under (A2,B2)∘(A1,B1) = (A1&A2, (B1&A2)|B2).
+  Lowered via cumulative primitives (fast native scans on TPU): with
+  c = cumsum(occupied) along the sweep direction, a cell i is reached iff
+  some seed j precedes it with no occupied cell in between — i.e.
+  c[j] == c[i]. Since c is monotone, that is cummax(where(seed, c, -1))
+  reaching c[i].
   """
-  a = empty
-  b = jnp.logical_and(empty, seed)
-
-  def combine(left, right):
-    al, bl = left
-    ar, br = right
-    return jnp.logical_and(al, ar), jnp.logical_or(jnp.logical_and(bl, ar), br)
-
-  _, r = jax.lax.associative_scan(combine, (a, b), axis=axis, reverse=reverse)
-  return r
+  c = occupied_cumsum
+  val = jnp.where(seed, c, -1)
+  r = jax.lax.cummax(val, axis=axis, reverse=reverse)
+  return empty & (r == c)
 
 
 def _outside_mask(empty: jnp.ndarray) -> jnp.ndarray:
@@ -64,10 +62,19 @@ def _outside_mask(empty: jnp.ndarray) -> jnp.ndarray:
   for axis in (1, 2, 3):
     seed = seed | (empty & boundary(axis))
 
+  # Directional occupancy cumsums are loop invariants: hoist them.
+  occ = jnp.logical_not(empty).astype(jnp.int32)
+  cums = {}
+  for axis in (1, 2, 3):
+    cums[(axis, False)] = jnp.cumsum(occ, axis=axis)
+    cums[(axis, True)] = jnp.flip(
+        jnp.cumsum(jnp.flip(occ, axis=axis), axis=axis), axis=axis)
+
   def round_fn(outside):
     for axis in (1, 2, 3):
-      outside = outside | _gated_prefix_or(outside, empty, axis, False)
-      outside = outside | _gated_prefix_or(outside, empty, axis, True)
+      for reverse in (False, True):
+        outside = outside | _gated_prefix_or(
+            outside, cums[(axis, reverse)], empty, axis, reverse)
     return outside
 
   def cond(state):

@@ -20,3 +20,9 @@ import jax  # noqa: E402
 
 if not os.environ.get("CORENET_TEST_TPU"):
   jax.config.update("jax_platforms", "cpu")
+
+# XLA:CPU compiles of the full model dominate test time; cache them.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
