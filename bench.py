@@ -32,10 +32,12 @@ def main():
   from corenet_tpu.train.step import make_train_step
   from __graft_entry__ import _example_inputs
 
+  import jax.numpy as _jnp
   resolution = (128, 128, 128)
   batch = 4
   model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
-      resolution=resolution, num_output_channels=2)))
+      resolution=resolution, num_output_channels=2)),
+      compute_dtype=_jnp.bfloat16)
   optimizer = state_lib.create_optimizer()
 
   mesh = mesh_lib.create_mesh()
@@ -50,22 +52,28 @@ def main():
     state = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, mesh_lib.replicated_sharding(mesh)),
         state)
+    # donate=False: buffer donation interacts badly with the async axon
+    # transport when the host refetches between steps.
     train_step = make_train_step(
         model, optimizer, "FG_BG", resolution,
         voxelization_kwargs=dict(image_resolution_multiplier=4,
-                                 max_bbox_pixels=24))
+                                 max_bbox_pixels=24),
+        donate=False)
     batch_on_mesh = mesh_lib.shard_batch(mesh, inputs)
 
-    # Warmup (compile + 2 steps).
+    # Warmup (compile + 2 steps). NOTE: block_until_ready does not reliably
+    # block under the axon transport; a host fetch of the loss scalar does,
+    # and each step depends on the previous state, so fetching the final
+    # loss bounds the whole chain.
     for _ in range(3):
       state, metrics = train_step(state, batch_on_mesh)
-    jax.block_until_ready((state, metrics))
+    float(jax.device_get(metrics["loss"]))
 
     num_steps = 10
     t0 = time.perf_counter()
     for _ in range(num_steps):
       state, metrics = train_step(state, batch_on_mesh)
-    jax.block_until_ready((state, metrics))
+    float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
 
   n_chips = len(jax.devices())

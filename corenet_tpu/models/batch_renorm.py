@@ -29,6 +29,10 @@ class BatchRenorm(nn.Module):
 
   @nn.compact
   def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    in_dtype = x.dtype
+    # Statistics and normalization run in float32 even for bf16
+    # activations; the output is cast back to the input dtype.
+    x = x.astype(jnp.float32)
     num_channels = x.shape[-1]
     scale = self.param("scale", nn.initializers.ones, (num_channels,))
     bias = self.param("bias", nn.initializers.zeros, (num_channels,))
@@ -68,4 +72,4 @@ class BatchRenorm(nn.Module):
     else:
       y = (x - ra_mean.value) / running_std
 
-    return scale * y + bias
+    return (scale * y + bias).astype(in_dtype)

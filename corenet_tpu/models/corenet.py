@@ -8,7 +8,7 @@ grid sampling offsets [B, 3]. Output: logits [B, D, H, W, C].
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -37,6 +37,9 @@ class CoreNetConfig:
 
 class CoreNet(nn.Module):
   config: CoreNetConfig
+  # None → float32 everywhere (bit-parity mode); jnp.bfloat16 → conv/matmul
+  # compute in bf16 with float32 parameters, stats, and output logits.
+  compute_dtype: Any = None
 
   @nn.compact
   def __call__(self, image: jnp.ndarray,
@@ -55,7 +58,8 @@ class CoreNet(nn.Module):
       Grid logits, float32[B, depth, height, width, num_output_channels].
     """
     x = preprocess_image_caffe(image)
-    features = ResNet50FeatureExtractor(name="encoder")(x, train)
+    features = ResNet50FeatureExtractor(
+        name="encoder", compute_dtype=self.compute_dtype)(x, train)
     dc = self.config.decoder
     return ReconstructionDecoder(
         resolution=tuple(dc.resolution),
@@ -63,5 +67,6 @@ class CoreNet(nn.Module):
         last_upscale_factor=dc.last_upscale_factor,
         latent_channels=dc.latent_channels,
         skip_fraction=dc.skip_fraction,
+        compute_dtype=self.compute_dtype,
         name="decoder")(features, voxel_projection_matrix,
                         voxel_sample_locations, train)

@@ -19,7 +19,7 @@ Layouts are channel-last (NDHWC); output logits are [B, D, H, W, C].
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -40,6 +40,7 @@ class ReconstructionDecoder(nn.Module):
   last_upscale_factor: int = 2
   latent_channels: int = 64
   skip_fraction: float = 0.75
+  compute_dtype: Any = None
 
   def _skip_channels(self, c: int) -> int:
     return round(c * self.skip_fraction)
@@ -73,13 +74,16 @@ class ReconstructionDecoder(nn.Module):
           [r, jnp.ones([1], jnp.float32)]))
       layer_matrix = voxel_projection_matrix @ layer_scale
       skip = SampleGrid2d(out_channels, tuple(layer_res),
+                          compute_dtype=self.compute_dtype,
                           name=f"rt_skip_{stage}")(
                               src2d, layer_matrix, voxel_sample_locations)
       return jnp.concatenate([x, skip], axis=-1)
 
     imf = image_features
-    x = layers.Linear(self.latent_channels, name="stage_0")(
+    x = layers.Linear(self.latent_channels, name="stage_0",
+                      compute_dtype=self.compute_dtype)(
         imf.global_average_2048)
+    x = x.astype(jnp.float32)
     x = jnp.concatenate([x, voxel_sample_locations], axis=-1)
     x = x[:, None, None, None, :]  # [B, 1, 1, 1, latent+3]
 
@@ -94,6 +98,7 @@ class ReconstructionDecoder(nn.Module):
     x = nn.relu(x)
     x = _bn(name="stage_1_bn")(x, train)
     x = layers.ConvTranspose(256, ir, ndim=3, stride=ir,
+                             compute_dtype=self.compute_dtype,
                              name="stage_1_t")(x)
     x = apply_skip(x, imf.stage5_2048, 1)
 
@@ -101,11 +106,13 @@ class ReconstructionDecoder(nn.Module):
       x = nn.relu(x)
       x = _bn(name=f"{name}_bn1")(x, train)
       x = layers.Conv(conv_c, conv_k, ndim=3, padding=conv_k // 2,
+                      compute_dtype=self.compute_dtype,
                       name=f"{name}_c")(x)
       x = nn.relu(x)
       x = _bn(name=f"{name}_bn2")(x, train)
       x = layers.ConvTranspose(t_out, t_k, ndim=3, stride=t_stride,
                                padding=t_pad, output_padding=t_op,
+                               compute_dtype=self.compute_dtype,
                                name=f"{name}_t")(x)
       return x
 
@@ -119,4 +126,4 @@ class ReconstructionDecoder(nn.Module):
     x = apply_skip(x, imf.stage2_256, 5)
     x = tower(x, "stage_6", 16, 5, self.num_output_channels, 7,
               self.last_upscale_factor, 3, 1)
-    return x
+    return x.astype(jnp.float32)

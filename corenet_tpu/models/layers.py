@@ -16,7 +16,7 @@ of counting a ConvTranspose's fan_in over the *output* channels.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple, Union
+from typing import Any, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -64,6 +64,7 @@ class Conv(nn.Module):
   padding: IntOrTuple = 0
   use_bias: bool = True
   kernel_init_mode: str = "torch_default"  # or "kaiming_normal"
+  compute_dtype: Any = None  # e.g. jnp.bfloat16; params stay float32
 
   @nn.compact
   def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -80,16 +81,22 @@ class Conv(nn.Module):
       kernel_init = torch_default_kernel_init(fan_in)
     kernel = self.param("kernel", kernel_init, kernel_shape)
 
+    if self.compute_dtype is not None:
+      x = x.astype(self.compute_dtype)
+      kernel = kernel.astype(self.compute_dtype)
     spatial = "".join("DHW"[3 - n:][i] for i in range(n))
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel_shape,
         (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+    # No preferred_element_type: TPU bf16 convs accumulate in f32
+    # internally, and an f32 output here would break the conv transpose
+    # rule's dtype agreement under autodiff.
     y = jax.lax.conv_general_dilated(
         x, kernel, window_strides=s, padding=[(pi, pi) for pi in p],
         dimension_numbers=dn)
     if self.use_bias:
       bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
-      y = y + bias
+      y = (y + bias).astype(y.dtype)
     return y
 
 
@@ -116,6 +123,7 @@ class ConvTranspose(nn.Module):
   output_padding: IntOrTuple = 0
   use_bias: bool = True
   method: str = "auto"  # "auto" | "dilated" | "phased"
+  compute_dtype: Any = None  # e.g. jnp.bfloat16; params stay float32
 
   @nn.compact
   def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -130,24 +138,35 @@ class ConvTranspose(nn.Module):
     fan_in = self.features * math.prod(k)
     kernel = self.param("kernel", torch_default_kernel_init(fan_in),
                         kernel_shape)
+    if self.compute_dtype is not None:
+      x = x.astype(self.compute_dtype)
+      kernel = kernel.astype(self.compute_dtype)
 
     in_spatial = x.shape[1:-1]
+    out_spatial = tuple(
+        (i - 1) * si - 2 * pi + ki + opi
+        for i, si, pi, ki, opi in zip(in_spatial, s, p, k, op))
     method = self.method
     if method == "auto":
       # Phase decomposition only pays off with real strides and real
       # spatial extent; in=1 (the decoder's latent seed) stays dilated.
-      use_phased = any(si > 1 for si in s) and all(
-          d > 1 for d in in_spatial)
-      method = "phased" if use_phased else "dilated"
+      if not (any(si > 1 for si in s) and all(d > 1 for d in in_spatial)):
+        method = "dilated"
+      elif all(o % si == 0 for o, si in zip(out_spatial, s)):
+        method = "phased_fused"
+      else:
+        method = "phased"
 
     if method == "dilated":
       y = self._dilated(x, kernel, k, s, p, op)
+    elif method == "phased_fused":
+      y = self._phased_fused(x, kernel, k, s, p, op, out_spatial)
     else:
       y = self._phased(x, kernel, k, s, p, op)
 
     if self.use_bias:
       bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
-      y = y + bias
+      y = y + bias.astype(y.dtype)
     return y
 
   def _dn(self, x_shape, kernel_shape):
@@ -164,6 +183,85 @@ class ConvTranspose(nn.Module):
     return jax.lax.conv_general_dilated(
         x, flipped, window_strides=(1,) * n, padding=pad,
         lhs_dilation=s, dimension_numbers=self._dn(x.shape, kernel.shape))
+
+  def _phased_fused(self, x, kernel, k, s, p, op, out_spatial):
+    """All ∏s output phases in ONE dense convolution emitting
+    features·∏s channels, followed by a depth-to-space interleave.
+
+    For output n = s·q + r: y[n] = Σ_dj x[q+dj]·W[p + r − s·dj]. The
+    combined kernel stacks every phase's (zero-padded) tap slice on the
+    output-channel axis, so the conv's N dimension is features·∏s — full
+    MXU lanes even for small feature counts — and the interleave is a
+    reshape/transpose instead of ∏s strided scatters. Requires s | out
+    (true for every decoder stage here).
+    """
+    import numpy as np
+    n = self.ndim
+    in_spatial = x.shape[1:-1]
+
+    dj_lo, dj_hi = [], []
+    for d in range(n):
+      ki, si, pi = k[d], s[d], p[d]
+      los, his = [], []
+      for r in range(si):
+        los.append(-((ki - 1 - pi - r) // si))  # ceil((p+r-k+1)/s)
+        his.append((pi + r) // si)
+      dj_lo.append(min(los))
+      dj_hi.append(max(his))
+
+    # Combined kernel: [taps..., in, s_0*...*s_{n-1} * features], with
+    # entry for phase r, tap t (dj = dj_lo + t): W[p + r − s·dj] or zero.
+    # Dims are processed in reverse so `axis=d` always addresses the
+    # original kernel dim (each step splits dim d into (phase, tap)).
+    taps = [hi - lo + 1 for lo, hi in zip(dj_lo, dj_hi)]
+    in_features = x.shape[-1]
+    num_phases = math.prod(s)
+    kcomb = kernel  # [k0, ..., kn-1, I, O]
+    for d in reversed(range(n)):
+      ki, si, pi = k[d], s[d], p[d]
+      t_idx = np.arange(taps[d])
+      r_idx = np.arange(si)
+      # widx[r, t] = p + r - s*(dj_lo + t)
+      widx = pi + r_idx[:, None] - si * (dj_lo[d] + t_idx[None, :])
+      valid = (widx >= 0) & (widx < ki)
+      widx_c = np.clip(widx, 0, ki - 1)
+      # take along dim d: result axis order [r, t] inserted at d.
+      kd = jnp.take(kcomb, jnp.asarray(widx_c.reshape(-1)), axis=d)
+      new_shape = (kcomb.shape[:d] + (si, taps[d]) + kcomb.shape[d + 1:])
+      kd = kd.reshape(new_shape)
+      mask_shape = [1] * len(new_shape)
+      mask_shape[d] = si
+      mask_shape[d + 1] = taps[d]
+      kd = kd * jnp.asarray(valid, kd.dtype).reshape(mask_shape)
+      kcomb = kd  # now has a phase axis at d and tap axis at d+1
+
+    # kcomb axes: [r0, t0, r1, t1, ..., I, O] → [t..., I, (r..., O)]
+    perm = ([2 * d + 1 for d in range(n)] + [2 * n] +
+            [2 * d for d in range(n)] + [2 * n + 1])
+    kcomb = jnp.transpose(kcomb, perm)
+    kcomb = kcomb.reshape(tuple(taps) + (in_features,
+                                         num_phases * self.features))
+
+    pads = []
+    for d in range(n):
+      q_count = out_spatial[d] // s[d]
+      pads.append((-dj_lo[d], (q_count - 1 + dj_hi[d]) -
+                   (in_spatial[d] - 1)))
+    y = jax.lax.conv_general_dilated(
+        x, kcomb, window_strides=(1,) * n, padding=pads,
+        dimension_numbers=self._dn(x.shape, kcomb.shape))
+
+    # Depth-to-space: [B, q..., (r..., F)] → [B, (q*s)..., F].
+    b = x.shape[0]
+    qs = [o // si for o, si in zip(out_spatial, s)]
+    y = y.reshape((b,) + tuple(qs) + tuple(s) + (self.features,))
+    # interleave: axis order B, q0, r0, q1, r1, ..., F
+    order = [0]
+    for d in range(n):
+      order += [1 + d, 1 + n + d]
+    order += [1 + 2 * n]
+    y = jnp.transpose(y, order)
+    return y.reshape((b,) + tuple(out_spatial) + (self.features,))
 
   def _phased(self, x, kernel, k, s, p, op):
     """Sub-pixel decomposition. For output index n = s·q + r along a dim:
@@ -227,6 +325,7 @@ class ConvTranspose(nn.Module):
 class Linear(nn.Module):
   """Dense layer with torch default init."""
   features: int
+  compute_dtype: Any = None
 
   @nn.compact
   def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -234,6 +333,10 @@ class Linear(nn.Module):
     kernel = self.param("kernel", torch_default_kernel_init(in_features),
                         (in_features, self.features))
     bias = self.param("bias", torch_bias_init(in_features), (self.features,))
+    if self.compute_dtype is not None:
+      x = x.astype(self.compute_dtype)
+      kernel = kernel.astype(self.compute_dtype)
+      bias = bias.astype(self.compute_dtype)
     return x @ kernel + bias
 
 

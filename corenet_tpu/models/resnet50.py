@@ -14,7 +14,8 @@ so it must match bit-for-bit.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+import functools
+from typing import Any, NamedTuple, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -36,20 +37,23 @@ def _bn(name=None):
   return BatchRenorm(eps=1e-3, name=name)
 
 
-def _conv(features, kernel_size, stride=1, padding=0, name=None):
+def _conv_(features, kernel_size, stride=1, padding=0, name=None, dtype=None):
   return layers.Conv(features=features, kernel_size=kernel_size, ndim=2,
                      stride=stride, padding=padding,
-                     kernel_init_mode="kaiming_normal", name=name)
+                     kernel_init_mode="kaiming_normal", name=name,
+                     compute_dtype=dtype)
 
 
 class IdentityBlock(nn.Module):
   kernel_size: int
   filters: Tuple[int, int, int]
+  compute_dtype: Any = None
 
   @nn.compact
   def __call__(self, x: jnp.ndarray, train: bool):
     f1, f2, f3 = self.filters
     inp = x
+    _conv = functools.partial(_conv_, dtype=self.compute_dtype)
     x = _conv(f1, 1, name="conv_a")(x)
     x = _bn(name="bn_a")(x, train)
     x = nn.relu(x)
@@ -67,10 +71,12 @@ class DownscaleBlock(nn.Module):
   kernel_size: int
   filters: Tuple[int, int, int]
   stride: int = 2
+  compute_dtype: Any = None
 
   @nn.compact
   def __call__(self, x: jnp.ndarray, train: bool):
     f1, f2, f3 = self.filters
+    _conv = functools.partial(_conv_, dtype=self.compute_dtype)
     s = _conv(f3, 1, stride=self.stride, name="conv_shortcut")(x)
     s = _bn(name="bn_shortcut")(s, train)
     x = _conv(f1, 1, stride=self.stride, name="conv_a")(x)
@@ -86,34 +92,36 @@ class DownscaleBlock(nn.Module):
 
 
 class ResNet50FeatureExtractor(nn.Module):
+  compute_dtype: Any = None
 
   @nn.compact
   def __call__(self, image: jnp.ndarray, train: bool) -> ResNet50Features:
     """image: float32[B, H, W, 3], Caffe-preprocessed."""
+    _conv = functools.partial(_conv_, dtype=self.compute_dtype)
     x = stage1 = _conv(64, 7, stride=2, padding=3, name="stage1_conv")(image)
     x = _bn(name="stage1_bn")(x, train)
     x = nn.relu(x)
     x = layers.max_pool_2d(x, kernel=3, stride=2, padding=1)
 
-    x = DownscaleBlock(3, (64, 64, 256), stride=1, name="stage2a")(x, train)
-    x, _ = IdentityBlock(3, (64, 64, 256), name="stage2b")(x, train)
-    x, stage2 = IdentityBlock(3, (64, 64, 256), name="stage2c")(x, train)
+    x = DownscaleBlock(3, (64, 64, 256), stride=1, name="stage2a", compute_dtype=self.compute_dtype)(x, train)
+    x, _ = IdentityBlock(3, (64, 64, 256), name="stage2b", compute_dtype=self.compute_dtype)(x, train)
+    x, stage2 = IdentityBlock(3, (64, 64, 256), name="stage2c", compute_dtype=self.compute_dtype)(x, train)
 
-    x = DownscaleBlock(3, (128, 128, 512), name="stage3a")(x, train)
-    x, _ = IdentityBlock(3, (128, 128, 512), name="stage3b")(x, train)
-    x, _ = IdentityBlock(3, (128, 128, 512), name="stage3c")(x, train)
-    x, stage3 = IdentityBlock(3, (128, 128, 512), name="stage3d")(x, train)
+    x = DownscaleBlock(3, (128, 128, 512), name="stage3a", compute_dtype=self.compute_dtype)(x, train)
+    x, _ = IdentityBlock(3, (128, 128, 512), name="stage3b", compute_dtype=self.compute_dtype)(x, train)
+    x, _ = IdentityBlock(3, (128, 128, 512), name="stage3c", compute_dtype=self.compute_dtype)(x, train)
+    x, stage3 = IdentityBlock(3, (128, 128, 512), name="stage3d", compute_dtype=self.compute_dtype)(x, train)
 
-    x = DownscaleBlock(3, (256, 256, 1024), name="stage4a")(x, train)
-    x, _ = IdentityBlock(3, (256, 256, 1024), name="stage4b")(x, train)
-    x, _ = IdentityBlock(3, (256, 256, 1024), name="stage4c")(x, train)
-    x, _ = IdentityBlock(3, (256, 256, 1024), name="stage4d")(x, train)
-    x, _ = IdentityBlock(3, (256, 256, 1024), name="stage4e")(x, train)
-    x, stage4 = IdentityBlock(3, (256, 256, 1024), name="stage4f")(x, train)
+    x = DownscaleBlock(3, (256, 256, 1024), name="stage4a", compute_dtype=self.compute_dtype)(x, train)
+    x, _ = IdentityBlock(3, (256, 256, 1024), name="stage4b", compute_dtype=self.compute_dtype)(x, train)
+    x, _ = IdentityBlock(3, (256, 256, 1024), name="stage4c", compute_dtype=self.compute_dtype)(x, train)
+    x, _ = IdentityBlock(3, (256, 256, 1024), name="stage4d", compute_dtype=self.compute_dtype)(x, train)
+    x, _ = IdentityBlock(3, (256, 256, 1024), name="stage4e", compute_dtype=self.compute_dtype)(x, train)
+    x, stage4 = IdentityBlock(3, (256, 256, 1024), name="stage4f", compute_dtype=self.compute_dtype)(x, train)
 
-    x = DownscaleBlock(3, (512, 512, 2048), name="stage5a")(x, train)
-    x, _ = IdentityBlock(3, (512, 512, 2048), name="stage5b")(x, train)
-    x, stage5 = IdentityBlock(3, (512, 512, 2048), name="stage5c")(x, train)
+    x = DownscaleBlock(3, (512, 512, 2048), name="stage5a", compute_dtype=self.compute_dtype)(x, train)
+    x, _ = IdentityBlock(3, (512, 512, 2048), name="stage5b", compute_dtype=self.compute_dtype)(x, train)
+    x, stage5 = IdentityBlock(3, (512, 512, 2048), name="stage5c", compute_dtype=self.compute_dtype)(x, train)
 
     avg_pool = jnp.mean(x, axis=(1, 2))
     return ResNet50Features(stage1, stage2, stage3, stage4, stage5, avg_pool)

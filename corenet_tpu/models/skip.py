@@ -19,7 +19,7 @@ Pallas variant lives in ops/ for the hot path.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -82,13 +82,15 @@ def sample_grid2d(grid2d: jnp.ndarray,
   gathered = gathered.reshape(b, gd, gh, gw, c)
 
   behind = camera_depth < 0
-  return jnp.where(behind[..., None], jnp.float32(outside_value), gathered)
+  return jnp.where(behind[..., None],
+                   jnp.asarray(outside_value, gathered.dtype), gathered)
 
 
 class SampleGrid2d(nn.Module):
   """1×1 channel compression + projected gather (ray-traced skip)."""
   out_channels: int
   grid_resolution: Tuple[int, int, int]
+  compute_dtype: Any = None
 
   @nn.compact
   def __call__(self, grid2d: jnp.ndarray,
@@ -96,7 +98,8 @@ class SampleGrid2d(nn.Module):
                voxel_sample_location: jnp.ndarray,
                outside_value: float = 0.0) -> jnp.ndarray:
     compressed = layers.Conv(features=self.out_channels, kernel_size=1,
-                             ndim=2, name="compress_channels")(grid2d)
+                             ndim=2, compute_dtype=self.compute_dtype,
+                             name="compress_channels")(grid2d)
     return sample_grid2d(compressed, voxel_projection_matrix,
                          voxel_sample_location, self.grid_resolution,
                          outside_value)
