@@ -53,11 +53,15 @@ class EvalPipeline:
                eval_config: cfg.EvalConfig,
                output_dir: str,
                inference_fn: InferenceFn,
-               write_results: bool = True):
+               write_results: bool = True,
+               write_qualitative: bool = True,
+               summary_writer=None):
     self.config = eval_config
     self.output_dir = output_dir
     self.inference_fn = inference_fn
     self.write_results = write_results
+    self.write_qualitative = write_qualitative
+    self.summary_writer = summary_writer
     self.dataset_manager = DatasetManager(eval_config.data)
     self.classes = self.dataset_manager.classes
 
@@ -90,6 +94,14 @@ class EvalPipeline:
              self.config.name, global_step, len(shard), lo, hi, len(dataset))
 
     quantitative = QuantitativeResults(self.classes, task_type)
+    qualitative = None
+    if self.write_qualitative and self.config.num_qualitative_results > 0:
+      from corenet_tpu.eval.qualitative import QualitativeResults
+      out_dir = fs.join(self.output_dir, self.config.name, str(global_step))
+      qualitative = QualitativeResults(
+          out_dir, self.config.num_qualitative_results,
+          self.config.num_qualitative_results_in_tensor_board,
+          self.summary_writer)
     gt_fn = self._gt_fn(vc, batch_size)
     # Subdivide so every triangle fits the voxelizer's sampling window.
     m = max(resolution)
@@ -112,6 +124,25 @@ class EvalPipeline:
                               v2x, jnp.asarray(hb.grid_offset), resolution)
       fg_labels = hb.mesh_labels[:, 0]
       quantitative.add_batch(pmf, grid, fg_labels, valid)
+
+      if qualitative is not None and qualitative.want_more():
+        pmf_np = np.asarray(jax.device_get(pmf))
+        grid_np = np.asarray(jax.device_get(grid))
+        m = float(max(resolution))
+        for i in range(batch_size):
+          if not valid[i] or not qualitative.want_more():
+            continue
+          off = hb.grid_offset[i]
+          w2x = np.eye(4, dtype=np.float32)
+          w2x[:3, :3] *= m
+          w2x[:3, 3] = off - 0.5
+          meshes = [
+              hb.triangles[i][hb.tri_valid[i] & (hb.tri_mesh_slot[i] == j)]
+              for j in range(int(hb.mesh_valid[i].sum()))
+          ]
+          qualitative.add_scene(
+              hb.scene_ids[i], hb.image[i], pmf_np[i], grid_np[i], meshes,
+              list(hb.mesh_labels[i]), np.linalg.inv(w2x), global_step)
 
     df = quantitative.compute_metrics()
     if jax.process_index() == 0 and self.write_results:

@@ -1,0 +1,85 @@
+"""Qualitative evaluation results: rendered reconstructions on disk + TB.
+
+Parity with the reference QualitativeResults
+(/root/reference/src/corenet/evaluation_results.py:54-182): for the first
+K scenes of an eval, render [input image | predicted surface | predicted
+voxel grid | GT voxel grid | GT meshes] under the default + tetrahedron
+cameras and write `img_{scene_id}.png` under
+<output>/<eval_name>/<step>/; the first few also go to the summary
+writer. Each JAX process renders its own shard's scenes (no pickle-gather
+over Gloo — renders land on disk per host; the summary writer on process
+0 shows its local ones).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from corenet_tpu.utils import fs
+from corenet_tpu.viz import artifacts as art
+
+try:
+  import PIL.Image
+  _HAVE_PIL = True
+except ImportError:  # pragma: no cover
+  _HAVE_PIL = False
+
+
+def visualize_scene_output(input_image: np.ndarray,
+                           pmf: np.ndarray,
+                           gt_grid: np.ndarray,
+                           meshes: Sequence[np.ndarray],
+                           mesh_labels: Sequence[int],
+                           grid_to_view: np.ndarray,
+                           image_size=(256, 256)) -> np.ndarray:
+  """One scene's qualitative tile (evaluation_results.py:54-117)."""
+  pred_labels = np.argmax(pmf, axis=-1).astype(np.int32)
+  items = [
+      art.ImageArtifact(input_image),
+      art.IsosurfaceArtifact(pmf, grid_to_world=grid_to_view),
+      art.VoxelGridArtifact(pred_labels, grid_to_world=grid_to_view),
+      art.VoxelGridArtifact(gt_grid, grid_to_world=grid_to_view),
+      art.MultiMeshArtifact(meshes, mesh_labels),
+  ]
+  return art.visualize_artifacts(items, image_size)
+
+
+class QualitativeResults:
+
+  def __init__(self, output_dir: str, num_results: int,
+               num_results_in_summary: int = 4, summary_writer=None,
+               image_size=(256, 256)):
+    self.output_dir = output_dir
+    self.num_results = num_results
+    self.num_results_in_summary = num_results_in_summary
+    self.summary_writer = summary_writer
+    self.image_size = image_size
+    self.rendered = 0
+
+  def want_more(self) -> bool:
+    return self.rendered < self.num_results
+
+  def add_scene(self, scene_id: str, input_image, pmf, gt_grid, meshes,
+                mesh_labels, grid_to_view, global_step: int = 0):
+    if not self.want_more():
+      return
+    tile = visualize_scene_output(
+        np.asarray(input_image), np.asarray(pmf), np.asarray(gt_grid),
+        meshes, mesh_labels, np.asarray(grid_to_view), self.image_size)
+    safe_id = scene_id.replace("/", "_")
+    path = fs.join(self.output_dir, f"img_{safe_id}.png")
+    fs.makedirs(self.output_dir)
+    if _HAVE_PIL:
+      buf = io.BytesIO()
+      PIL.Image.fromarray(tile).save(buf, format="PNG")
+      fs.write_bytes(path, buf.getvalue())
+    else:  # pragma: no cover
+      np.save(path + ".npy", tile)
+    if (self.summary_writer is not None and
+        self.rendered < self.num_results_in_summary):
+      self.summary_writer.add_image(f"rec_{self.rendered}", tile,
+                                    global_step)
+    self.rendered += 1

@@ -1,0 +1,108 @@
+"""Software renderer + artifact framework tests (structural assertions in
+place of the reference's golden-PNG L1 comparisons — same spec: right
+shapes, right colors in the right places, background where nothing is)."""
+
+import numpy as np
+import numpy.testing as tt
+
+from corenet_tpu.viz import artifacts as art
+from corenet_tpu.viz import camera as camera_util
+from corenet_tpu.viz import renderer
+from corenet_tpu.viz.colors import DEFAULT_COLOR_PALETTE
+
+from helpers import cube_mesh
+
+
+def test_render_mesh_cube():
+  tris = cube_mesh(0.2, 0.8)
+  colors = np.tile(np.array([[0.9, 0.2, 0.1]], np.float32), (12, 1))
+  cam = camera_util.default_camera([0, 0, 0], [1, 1, 1])
+  img = renderer.render_mesh(tris, colors, cam, (96, 96))
+  assert img.shape == (96, 96, 3) and img.dtype == np.uint8
+  # Cube visible in the center, red-dominant; background at corners.
+  c = img[48, 48]
+  assert c[0] > 100 and c[0] > 2 * max(c[1], 1)
+  tt.assert_array_equal(img[1, 1], [255, 255, 255])
+  tt.assert_array_equal(img[94, 94], [255, 255, 255])
+  # Faces with different normals shade differently (3D look).
+  assert len(np.unique(img.reshape(-1, 3), axis=0)) >= 3
+
+
+def test_render_mesh_depth_order():
+  # A red cube in front of (closer to camera than) a green cube.
+  front = cube_mesh(0.3, 0.7)
+  back = cube_mesh(0.3, 0.7) + np.array([0, 0, -3], np.float32)
+  tris = np.concatenate([back, front])
+  colors = np.concatenate([
+      np.tile(np.array([[0.0, 0.9, 0.0]], np.float32), (12, 1)),
+      np.tile(np.array([[0.9, 0.0, 0.0]], np.float32), (12, 1)),
+  ])
+  # Camera on +z looking down -z: front cube occludes back cube.
+  cam = camera_util._framing([0.3, 0.3, 0.3], [0.7, 0.7, 0.7],
+                             np.array([0., 0., 1.], np.float32))
+  img = renderer.render_mesh(tris, colors, cam, (64, 64))
+  center = img[32, 32]
+  assert center[0] > center[1], f"front cube should win: {center}"
+
+
+def test_render_voxel_grid_labels_and_palette():
+  grid = np.zeros((8, 8, 8), np.int32)
+  grid[2:6, 2:6, 2:6] = 1
+  img = renderer.render_voxel_grid(grid, image_size=(64, 64))
+  assert img.shape == (64, 64, 3)
+  center = img[32, 32]
+  # Label 1 → palette red.
+  assert center[0] > center[1] and center[0] > center[2]
+  tt.assert_array_equal(img[1, 1], [255, 255, 255])
+
+  # Empty grid → all background.
+  img = renderer.render_voxel_grid(np.zeros((4, 4, 4), np.int32),
+                                   image_size=(32, 32))
+  tt.assert_array_equal(img, np.full((32, 32, 3), 255, np.uint8))
+
+
+def test_visualize_artifacts_layout():
+  grid = np.zeros((8, 8, 8), np.int32)
+  grid[3:5, 3:5, 3:5] = 2
+  g2w = np.eye(4, dtype=np.float32)
+  g2w[:3, :3] /= 8.0
+  items = [
+      art.ImageArtifact(np.full((10, 20, 3), 128, np.uint8)),
+      art.MultiMeshArtifact([cube_mesh(0.3, 0.7)], [1]),
+      art.VoxelGridArtifact(grid, g2w),
+  ]
+  tile = art.visualize_artifacts(items, image_size=(48, 48))
+  assert tile.shape == (5 * 48, 3 * 48, 3)  # 5 cameras × 3 artifacts
+
+  # The image artifact repeats identically across camera rows.
+  tt.assert_array_equal(tile[:48, :48], tile[48:96, :48])
+
+
+def test_isosurface_artifact():
+  pmf = np.zeros((8, 8, 8, 3), np.float32)
+  pmf[..., 0] = 1.0
+  pmf[2:6, 2:6, 2:6, 0] = 0.1
+  pmf[2:6, 2:6, 2:6, 2] = 0.9  # class 2 foreground blob
+  a = art.IsosurfaceArtifact(pmf)
+  assert a.grid[4, 4, 4] == 2 and a.grid[0, 0, 0] == 0
+  img = a.render(camera_util.default_camera(*a.get_3d_box()), (48, 48))
+  assert (img != 255).any()
+
+
+def test_qualitative_scene_tile(tmp_path):
+  from corenet_tpu.eval.qualitative import QualitativeResults
+  pmf = np.zeros((8, 8, 8, 2), np.float32)
+  pmf[..., 0] = 1.0
+  pmf[3:5, 3:5, 3:5] = [0.2, 0.8]
+  gt = np.zeros((8, 8, 8), np.int32)
+  gt[3:5, 3:5, 3:5] = 1
+  g2v = np.eye(4, dtype=np.float32)
+  g2v[:3, :3] /= 8.0
+  q = QualitativeResults(str(tmp_path), num_results=1)
+  q.add_scene("scenes/s1", np.zeros((16, 16, 3), np.uint8), pmf, gt,
+              [cube_mesh(0.4, 0.6)], [1], g2v)
+  q.add_scene("scenes/s2", np.zeros((16, 16, 3), np.uint8), pmf, gt,
+              [cube_mesh(0.4, 0.6)], [1], g2v)  # beyond num_results
+  import os
+  files = sorted(os.listdir(tmp_path))
+  assert files == ["img_scenes_s1.png"]
