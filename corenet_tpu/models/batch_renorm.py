@@ -26,10 +26,19 @@ import jax.numpy as jnp
 class BatchRenorm(nn.Module):
   eps: float = 1e-5
   momentum: float = 0.01
+  # When activations are space-to-depth packed (models/packing.py), the
+  # channel axis is [phase, fine-channel]; statistics/parameters stay
+  # per fine channel, so results are identical to the unpacked layout.
+  phase_packing: int = 1
 
   @nn.compact
   def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
     in_dtype = x.dtype
+    in_shape = x.shape
+    if self.phase_packing > 1:
+      assert x.shape[-1] % self.phase_packing == 0
+      x = x.reshape(x.shape[:-1] +
+                    (self.phase_packing, x.shape[-1] // self.phase_packing))
     # Statistics and normalization run in float32 even for bf16
     # activations; the output is cast back to the input dtype.
     x = x.astype(jnp.float32)
@@ -72,4 +81,7 @@ class BatchRenorm(nn.Module):
     else:
       y = (x - ra_mean.value) / running_std
 
-    return (scale * y + bias).astype(in_dtype)
+    out = (scale * y + bias).astype(in_dtype)
+    if self.phase_packing > 1:
+      out = out.reshape(in_shape)
+    return out

@@ -40,6 +40,9 @@ class CoreNet(nn.Module):
   # None → float32 everywhere (bit-parity mode); jnp.bfloat16 → conv/matmul
   # compute in bf16 with float32 parameters, stats, and output logits.
   compute_dtype: Any = None
+  # Space-to-depth decoder execution (models/packing.py): same parameters
+  # and math, substantially better MXU utilization on TPU.
+  packed_decoder: bool = False
 
   @nn.compact
   def __call__(self, image: jnp.ndarray,
@@ -68,5 +71,6 @@ class CoreNet(nn.Module):
         latent_channels=dc.latent_channels,
         skip_fraction=dc.skip_fraction,
         compute_dtype=self.compute_dtype,
+        packed=self.packed_decoder,
         name="decoder")(features, voxel_projection_matrix,
                         voxel_sample_locations, train)

@@ -30,8 +30,8 @@ from corenet_tpu.models.resnet50 import ResNet50Features
 from corenet_tpu.models.skip import SampleGrid2d
 
 
-def _bn(name=None):
-  return BatchRenorm(eps=1e-3, name=name)
+def _bn(name=None, phase_packing=1):
+  return BatchRenorm(eps=1e-3, name=name, phase_packing=phase_packing)
 
 
 class ReconstructionDecoder(nn.Module):
@@ -41,6 +41,11 @@ class ReconstructionDecoder(nn.Module):
   latent_channels: int = 64
   skip_fraction: float = 0.75
   compute_dtype: Any = None
+  # Space-to-depth execution (models/packing.py): activations run ×2
+  # packed so every conv fills the MXU's output lanes. Bit-equivalent to
+  # the unpacked path (same parameters); requires last_upscale_factor 2
+  # and an even initial grid. Large speedup on TPU.
+  packed: bool = False
 
   def _skip_channels(self, c: int) -> int:
     return round(c * self.skip_fraction)
@@ -54,6 +59,11 @@ class ReconstructionDecoder(nn.Module):
     div = 16 * self.last_upscale_factor
     assert depth % div == 0 and height % div == 0 and width % div == 0
     ir = (depth // div, height // div, width // div)
+    packed = self.packed
+    if packed:
+      assert self.last_upscale_factor == 2 and all(v % 2 == 0 for v in ir), (
+          "packed decoding needs stride-2 stages and an even seed grid")
+    from corenet_tpu.models import packing
 
     def apply_skip(x, src2d, stage):
       if self._skip_channels(16) == 0 or stage == 1:
@@ -68,15 +78,19 @@ class ReconstructionDecoder(nn.Module):
           (b, src2d.shape[1], src2d.shape[2], 3))
       src2d = jnp.concatenate([src2d, o], axis=-1)
       layer_res = x.shape[1:4]
+      if packed:
+        layer_res = tuple(2 * v for v in layer_res)  # fine resolution
       r = (jnp.array(self.resolution, jnp.float32) /
            jnp.array(layer_res, jnp.float32))
       layer_scale = jnp.diag(jnp.concatenate(
           [r, jnp.ones([1], jnp.float32)]))
       layer_matrix = voxel_projection_matrix @ layer_scale
       skip = SampleGrid2d(out_channels, tuple(layer_res),
-                          compute_dtype=self.compute_dtype,
+                          compute_dtype=self.compute_dtype, packed=packed,
                           name=f"rt_skip_{stage}")(
                               src2d, layer_matrix, voxel_sample_locations)
+      if packed:
+        return packing.packed_concat(x, x.shape[-1] // 8, skip, out_channels)
       return jnp.concatenate([x, skip], axis=-1)
 
     imf = image_features
@@ -100,19 +114,24 @@ class ReconstructionDecoder(nn.Module):
     x = layers.ConvTranspose(256, ir, ndim=3, stride=ir,
                              compute_dtype=self.compute_dtype,
                              name="stage_1_t")(x)
+    if packed:
+      x = packing.space_to_depth(x)
     x = apply_skip(x, imf.stage5_2048, 1)
+
+    phase = 8 if packed else 1
 
     def tower(x, name, conv_c, conv_k, t_out, t_k, t_stride, t_pad, t_op):
       x = nn.relu(x)
-      x = _bn(name=f"{name}_bn1")(x, train)
+      x = _bn(name=f"{name}_bn1", phase_packing=phase)(x, train)
       x = layers.Conv(conv_c, conv_k, ndim=3, padding=conv_k // 2,
-                      compute_dtype=self.compute_dtype,
+                      compute_dtype=self.compute_dtype, packed_io=packed,
                       name=f"{name}_c")(x)
       x = nn.relu(x)
-      x = _bn(name=f"{name}_bn2")(x, train)
+      x = _bn(name=f"{name}_bn2", phase_packing=phase)(x, train)
       x = layers.ConvTranspose(t_out, t_k, ndim=3, stride=t_stride,
                                padding=t_pad, output_padding=t_op,
                                compute_dtype=self.compute_dtype,
+                               packed_io=packed,
                                name=f"{name}_t")(x)
       return x
 
@@ -126,4 +145,6 @@ class ReconstructionDecoder(nn.Module):
     x = apply_skip(x, imf.stage2_256, 5)
     x = tower(x, "stage_6", 16, 5, self.num_output_channels, 7,
               self.last_upscale_factor, 3, 1)
+    if packed:
+      x = packing.depth_to_space(x, self.num_output_channels)
     return x.astype(jnp.float32)

@@ -65,6 +65,9 @@ class Conv(nn.Module):
   use_bias: bool = True
   kernel_init_mode: str = "torch_default"  # or "kaiming_normal"
   compute_dtype: Any = None  # e.g. jnp.bfloat16; params stay float32
+  # Space-to-depth execution (3D, stride 1, padding k//2 only): input and
+  # output are ×2-packed [.., D/2, H/2, W/2, 8C]. Same parameters.
+  packed_io: bool = False
 
   @nn.compact
   def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -73,6 +76,9 @@ class Conv(nn.Module):
     s = _tuple(self.stride, n)
     p = _tuple(self.padding, n)
     in_features = x.shape[-1]
+    if self.packed_io:
+      assert in_features % 8 == 0
+      in_features //= 8  # fine channel count; params stay unpacked
     kernel_shape = k + (in_features, self.features)
     fan_in = in_features * math.prod(k)
     if self.kernel_init_mode == "kaiming_normal":
@@ -84,6 +90,15 @@ class Conv(nn.Module):
     if self.compute_dtype is not None:
       x = x.astype(self.compute_dtype)
       kernel = kernel.astype(self.compute_dtype)
+    if self.packed_io:
+      from corenet_tpu.models import packing
+      assert n == 3 and all(si == 1 for si in s) and all(
+          pi == ki // 2 for pi, ki in zip(p, k))
+      y = packing.packed_conv(x, kernel, p[0])
+      if self.use_bias:
+        bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        y = (y + jnp.tile(bias, 8).astype(y.dtype)).astype(y.dtype)
+      return y
     spatial = "".join("DHW"[3 - n:][i] for i in range(n))
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel_shape,
@@ -124,6 +139,8 @@ class ConvTranspose(nn.Module):
   use_bias: bool = True
   method: str = "auto"  # "auto" | "dilated" | "phased"
   compute_dtype: Any = None  # e.g. jnp.bfloat16; params stay float32
+  # Space-to-depth execution (3D, stride 2 only): packed in AND out.
+  packed_io: bool = False
 
   @nn.compact
   def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -133,6 +150,9 @@ class ConvTranspose(nn.Module):
     p = _tuple(self.padding, n)
     op = _tuple(self.output_padding, n)
     in_features = x.shape[-1]
+    if self.packed_io:
+      assert in_features % 8 == 0
+      in_features //= 8
     kernel_shape = k + (in_features, self.features)
     # torch counts a ConvTranspose's fan_in over output channels.
     fan_in = self.features * math.prod(k)
@@ -141,6 +161,16 @@ class ConvTranspose(nn.Module):
     if self.compute_dtype is not None:
       x = x.astype(self.compute_dtype)
       kernel = kernel.astype(self.compute_dtype)
+
+    if self.packed_io:
+      from corenet_tpu.models import packing
+      assert n == 3 and all(si == 2 for si in s)
+      assert len(set(k)) == 1 and len(set(p)) == 1 and len(set(op)) == 1
+      y = packing.packed_conv_transpose(x, kernel, 2, p[0], op[0])
+      if self.use_bias:
+        bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        y = (y + jnp.tile(bias, 8).astype(y.dtype)).astype(y.dtype)
+      return y
 
     in_spatial = x.shape[1:-1]
     out_spatial = tuple(

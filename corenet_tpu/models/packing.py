@@ -1,0 +1,210 @@
+"""Space-to-depth (×2 per axis) execution of the 3D decoder's convolutions.
+
+The decoder's hot layers have 16–32 channels at 64³–128³ resolution. On
+TPU, a conv's output-channel count maps to the MXU's 128 output lanes, so
+C_out = 16 uses 12.5% of the systolic array. Packing 2×2×2 voxel blocks
+into channels multiplies the effective channel count by 8 (full lanes) at
+the cost of moderately larger-but-denser kernels — a large net win for
+this architecture.
+
+Math (per axis, packing factor 2). Fine index m = 2M + r with packed cell
+M and phase r ∈ {0, 1}; packed channel layout is phase-major:
+packed[..., ((pz·2+py)·2+px)·C + c] = fine[2Z+pz, 2Y+py, 2X+px, c].
+
+* conv (stride 1, pad p, kernel k):
+    y[m] = Σ_dx x[m+dx−p]·W[dx]
+    y[2M+r] = Σ_{dJ,a} x_packed[M+dJ, a]·W[2dJ + a − r + p]
+  → packed conv with per-axis taps dJ and a (kernel-size-3 taps for k=5).
+
+* transposed conv (stride 2, pad p, output_padding 1, kernel k), packed
+  input AND packed output: fine output n = 2q + c, with q = 2J_out + rm:
+    y[2q+c] = Σ_dj x[q+dj]·W[p + c − 2dj],   dj = 2dJ + a − rm
+  → a packed-space transposed conv with stride 2, lowered like
+    layers._phased_fused: one dense conv emitting (rm, c) × C_out· — i.e.
+    4 per-axis phases — followed by a packed-space depth-to-space.
+
+All functions take the ORIGINAL (unpacked) kernels; the packed kernels are
+static gathers of them, so parameters and checkpoints are identical to the
+unpacked decoder and gradients flow to the same tree.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+  """fine [B, D, H, W, C] → packed [B, D/2, H/2, W/2, 8C] (phase-major)."""
+  b, d, h, w, c = x.shape
+  assert d % 2 == 0 and h % 2 == 0 and w % 2 == 0
+  x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+  x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6, 7))
+  return x.reshape(b, d // 2, h // 2, w // 2, 8 * c)
+
+
+def depth_to_space(x: jnp.ndarray, c: int) -> jnp.ndarray:
+  """packed [B, D2, H2, W2, 8C] → fine [B, 2D2, 2H2, 2W2, C]."""
+  b, d2, h2, w2, pc = x.shape
+  assert pc == 8 * c
+  x = x.reshape(b, d2, h2, w2, 2, 2, 2, c)
+  x = jnp.transpose(x, (0, 1, 4, 2, 5, 3, 6, 7))
+  return x.reshape(b, 2 * d2, 2 * h2, 2 * w2, c)
+
+
+def _dn(x_shape, k_shape):
+  return jax.lax.conv_dimension_numbers(
+      x_shape, k_shape, ("NDHWC", "DHWIO", "NDHWC"))
+
+
+def _axis_plan_conv(k: int, p: int):
+  """Per-axis (dJ_lo, dJ_hi, index map) for the packed stride-1 conv.
+
+  For output phase r and tap (dJ, a): fine kernel index
+  w = 2dJ + a − r + p must lie in [0, k)."""
+  # w ∈ [0, k) ⇒ dJ ∈ [ceil((r−a−p)/2), floor((k−1−a+r−p)/2)].
+  los, his = [], []
+  for r in (0, 1):
+    for a in (0, 1):
+      los.append(-(-(r - a - p) // 2))
+      his.append((k - 1 - a + r - p) // 2)
+  return min(los), max(his)
+
+
+def packed_conv(x_packed: jnp.ndarray, kernel: jnp.ndarray,
+                padding: int) -> jnp.ndarray:
+  """Stride-1 'SAME-ish' conv on packed activations.
+
+  Args:
+    x_packed: [B, D2, H2, W2, 8·Cin].
+    kernel: the ORIGINAL fine kernel [k, k, k, Cin, Cout] (odd k,
+      padding = k // 2 so fine output size == fine input size).
+  Returns: [B, D2, H2, W2, 8·Cout].
+  """
+  k = kernel.shape[0]
+  p = padding
+  assert kernel.shape[:3] == (k, k, k) and p == k // 2
+  cin, cout = kernel.shape[3], kernel.shape[4]
+
+  dj_lo, dj_hi = _axis_plan_conv(k, p)
+  taps = dj_hi - dj_lo + 1
+
+  # Build the packed kernel by gathering the fine kernel per axis:
+  # axes become (tap dJ, input phase a, output phase r).
+  kk = kernel
+  for axis in reversed(range(3)):
+    # index[t, a, r] = 2(dj_lo + t) + a − r + p
+    t_idx = np.arange(taps)
+    idx = (2 * (dj_lo + t_idx)[:, None, None] +
+           np.arange(2)[None, :, None] - np.arange(2)[None, None, :] + p)
+    valid = (idx >= 0) & (idx < k)
+    gathered = jnp.take(kk, jnp.asarray(np.clip(idx, 0, k - 1).reshape(-1)),
+                        axis=axis)
+    new_shape = kk.shape[:axis] + (taps, 2, 2) + kk.shape[axis + 1:]
+    gathered = gathered.reshape(new_shape)
+    mask_shape = [1] * len(new_shape)
+    mask_shape[axis:axis + 3] = [taps, 2, 2]
+    kk = gathered * jnp.asarray(valid, kk.dtype).reshape(mask_shape)
+
+  # kk axes: [t0, a0, r0, t1, a1, r1, t2, a2, r2, ci, co]
+  # → [t0, t1, t2, (a0, a1, a2, ci), (r0, r1, r2, co)]
+  kk = jnp.transpose(kk, (0, 3, 6, 1, 4, 7, 2, 5, 8, 9, 10))
+  kk = jnp.transpose(kk, (0, 1, 2, 3, 4, 5, 9, 6, 7, 8, 10))
+  kk = kk.reshape(taps, taps, taps, 8 * cin, 8 * cout)
+
+  out = jax.lax.conv_general_dilated(
+      x_packed, kk, window_strides=(1, 1, 1),
+      padding=[(-dj_lo, dj_hi)] * 3, dimension_numbers=_dn(
+          x_packed.shape, kk.shape))
+  return out
+
+
+def packed_conv_transpose(x_packed: jnp.ndarray, kernel: jnp.ndarray,
+                          stride: int, padding: int,
+                          output_padding: int) -> jnp.ndarray:
+  """Stride-2 transposed conv, packed input → packed output (fine size
+  doubles; packed size doubles too).
+
+  kernel: ORIGINAL fine kernel [k, k, k, Cin, Cout].
+  """
+  assert stride == 2
+  k = kernel.shape[0]
+  p, op = padding, output_padding
+  cin, cout = kernel.shape[3], kernel.shape[4]
+
+  # Fine taps per output phase c: w = p + c − 2dj ∈ [0, k).
+  # Packed taps: dj = 2dJ + a − rm → w = p + c − 2(2dJ + a − rm).
+  los, his = [], []
+  for c in (0, 1):
+    for a in (0, 1):
+      for rm in (0, 1):
+        # dJ bounds from 0 ≤ p + c − 4dJ − 2a + 2rm ≤ k−1
+        los.append(-(-(p + c - 2 * a + 2 * rm - (k - 1)) // 4))
+        his.append((p + c - 2 * a + 2 * rm) // 4)
+  dj_lo, dj_hi = min(los), max(his)
+  taps = dj_hi - dj_lo + 1
+
+  kk = kernel
+  for axis in reversed(range(3)):
+    # index[t, a, rm, c] = p + c − 4(dj_lo + t) − 2a + 2rm
+    t_idx = np.arange(taps)
+    idx = (p + np.arange(2)[None, None, None, :]
+           - 4 * (dj_lo + t_idx)[:, None, None, None]
+           - 2 * np.arange(2)[None, :, None, None]
+           + 2 * np.arange(2)[None, None, :, None])
+    valid = (idx >= 0) & (idx < k)
+    gathered = jnp.take(kk, jnp.asarray(np.clip(idx, 0, k - 1).reshape(-1)),
+                        axis=axis)
+    new_shape = kk.shape[:axis] + (taps, 2, 2, 2) + kk.shape[axis + 1:]
+    gathered = gathered.reshape(new_shape)
+    mask_shape = [1] * len(new_shape)
+    mask_shape[axis:axis + 4] = [taps, 2, 2, 2]
+    kk = gathered * jnp.asarray(valid, kk.dtype).reshape(mask_shape)
+
+  # kk axes per dim: (t, a, rm, c); overall:
+  # [t0, a0, rm0, c0, t1, a1, rm1, c1, t2, a2, rm2, c2, ci, co]
+  # → [t0, t1, t2, (a0 a1 a2 ci), (rm0 rm1 rm2, c0 c1 c2, co)]
+  perm = (0, 4, 8,          # taps
+          1, 5, 9, 12,      # input phases + ci
+          2, 6, 10,         # rm (packed-space output phase)
+          3, 7, 11, 13)     # c (sub-phase) + co
+  kk = jnp.transpose(kk, perm)
+  kk = kk.reshape(taps, taps, taps, 8 * cin, 8 * 8 * cout)
+
+  b = x_packed.shape[0]
+  in_sp = x_packed.shape[1:4]
+  # Packed output cells per axis: fine out = 2·fine_in (op makes it so),
+  # packed out = fine_in = 2 · in_sp.
+  q_count = [2 * s for s in in_sp]
+  fine_out = [(2 * s - 1) * stride - 2 * p + k + op for s in in_sp]
+  assert all(f == 2 * q for f, q in zip(fine_out, q_count)), (
+      "packed conv-transpose requires fine output = 2 × packed input cells")
+
+  # Packed-space transposed conv with stride 2 via one conv + d2s: output
+  # positions J_out = 2·J + rm ⇒ conv over J with (q_count/2) positions.
+  pads = [(-dj_lo, (q // 2 - 1 + dj_hi) - (s - 1))
+          for q, s in zip(q_count, in_sp)]
+  y = jax.lax.conv_general_dilated(
+      x_packed, kk, window_strides=(1, 1, 1), padding=pads,
+      dimension_numbers=_dn(x_packed.shape, kk.shape))
+  # y: [B, J0, J1, J2, (rm0 rm1 rm2 · 8c·cout)] → interleave rm into space.
+  j0, j1, j2 = y.shape[1:4]
+  y = y.reshape(b, j0, j1, j2, 2, 2, 2, 8 * cout)
+  y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7))
+  return y.reshape(b, 2 * j0, 2 * j1, 2 * j2, 8 * cout)
+
+
+def packed_concat(a: jnp.ndarray, ca: int, b: jnp.ndarray,
+                  cb: int) -> jnp.ndarray:
+  """Concatenates two packed tensors along the fine channel axis.
+
+  Plain concat would interleave whole phase blocks; the packed layout is
+  phase-major, so fine-channel concat must happen inside each phase."""
+  sp = a.shape[:-1]
+  a = a.reshape(sp + (8, ca))
+  b = b.reshape(sp + (8, cb))
+  return jnp.concatenate([a, b], axis=-1).reshape(sp + (8 * (ca + cb),))

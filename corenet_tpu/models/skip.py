@@ -33,7 +33,8 @@ def sample_grid2d(grid2d: jnp.ndarray,
                   grid_resolution: Tuple[int, int, int],
                   outside_value: float = 0.0,
                   flip_x: bool = False,
-                  flip_y: bool = False) -> jnp.ndarray:
+                  flip_y: bool = False,
+                  packed: bool = False) -> jnp.ndarray:
   """Samples a 2D grid at the projected centers of a 3D voxel grid.
 
   Args:
@@ -49,12 +50,20 @@ def sample_grid2d(grid2d: jnp.ndarray,
   b, h, w, c = grid2d.shape
   gd, gh, gw = grid_resolution
 
-  # Voxel centers in (x, y, z) order, [D, H, W, 3].
+  # Voxel centers in (x, y, z) order, [D, H, W, 3]. In packed mode the
+  # voxel enumeration is space-to-depth order ([D/2, H/2, W/2, 2, 2, 2]
+  # flattened), so the gather's output IS the packed layout — the skip
+  # features concat onto packed activations with zero reshuffling.
   zz, yy, xx = jnp.meshgrid(
       jnp.arange(gd, dtype=jnp.float32),
       jnp.arange(gh, dtype=jnp.float32),
       jnp.arange(gw, dtype=jnp.float32), indexing="ij")
   centers = jnp.stack([xx, yy, zz], axis=-1)
+  if packed:
+    assert gd % 2 == 0 and gh % 2 == 0 and gw % 2 == 0
+    centers = centers.reshape(gd // 2, 2, gh // 2, 2, gw // 2, 2, 3)
+    centers = jnp.transpose(centers, (0, 2, 4, 1, 3, 5, 6))
+    centers = centers.reshape(gd // 2, gh // 2, gw // 2 * 8, 3)
   centers = centers[None] + voxel_sample_location[:, None, None, None, :]
 
   # Project: hom = M @ [x, y, z, 1].
@@ -79,9 +88,14 @@ def sample_grid2d(grid2d: jnp.ndarray,
   flat = padded.reshape(b, (h + 2) * (w + 2), c)
   idx = (py * (w + 2) + px).reshape(b, -1)
   gathered = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
-  gathered = gathered.reshape(b, gd, gh, gw, c)
-
   behind = camera_depth < 0
+  if packed:
+    gathered = gathered.reshape(b, gd // 2, gh // 2, gw // 2, 8 * c)
+    behind = behind.reshape(b, gd // 2, gh // 2, gw // 2, 8)
+    behind = jnp.repeat(behind, c, axis=-1)
+    return jnp.where(behind, jnp.asarray(outside_value, gathered.dtype),
+                     gathered)
+  gathered = gathered.reshape(b, gd, gh, gw, c)
   return jnp.where(behind[..., None],
                    jnp.asarray(outside_value, gathered.dtype), gathered)
 
@@ -91,6 +105,7 @@ class SampleGrid2d(nn.Module):
   out_channels: int
   grid_resolution: Tuple[int, int, int]
   compute_dtype: Any = None
+  packed: bool = False
 
   @nn.compact
   def __call__(self, grid2d: jnp.ndarray,
@@ -102,4 +117,4 @@ class SampleGrid2d(nn.Module):
                              name="compress_channels")(grid2d)
     return sample_grid2d(compressed, voxel_projection_matrix,
                          voxel_sample_location, self.grid_resolution,
-                         outside_value)
+                         outside_value, packed=self.packed)
