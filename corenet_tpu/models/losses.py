@@ -56,11 +56,19 @@ def iou_fgbg(gt_volume: jnp.ndarray, logits: jnp.ndarray,
   _check(gt_volume, logits, weights)
   c = logits.shape[-1]
 
-  gt = jax.nn.one_hot(gt_volume, c, dtype=jnp.float32)
-  pred = jax.nn.softmax(logits, axis=-1)
-  pred = pred[..., 1:].sum(axis=-1)
-  gt = gt[..., 1:].sum(axis=-1)
-  gt = jnp.minimum(gt, 1.0)
+  if c == 2:
+    # Binary fast path (the FG_BG training loss at 128³ — this runs on
+    # 8M voxels/step): softmax₁ of two logits ≡ sigmoid of their
+    # difference, and the one-hot/collapse/clamp pipeline reduces to an
+    # equality test. Mathematically identical to the general path.
+    pred = jax.nn.sigmoid(logits[..., 1] - logits[..., 0])
+    gt = (gt_volume == 1).astype(jnp.float32)
+  else:
+    gt = jax.nn.one_hot(gt_volume, c, dtype=jnp.float32)
+    pred = jax.nn.softmax(logits, axis=-1)
+    pred = pred[..., 1:].sum(axis=-1)
+    gt = gt[..., 1:].sum(axis=-1)
+    gt = jnp.minimum(gt, 1.0)
 
   intersection = jnp.minimum(gt, pred)
   union = jnp.maximum(gt, pred)

@@ -54,7 +54,8 @@ def make_train_step(model,
                     task_type: str,
                     resolution: Tuple[int, int, int],
                     voxelization_kwargs: Optional[Dict[str, Any]] = None,
-                    donate: bool = True):
+                    donate: bool = True,
+                    mesh=None):
   """Builds the jitted train step.
 
   The returned function has signature (state, batch) → (state, metrics).
@@ -73,6 +74,21 @@ def make_train_step(model,
   vox_kwargs = dict(voxelization_kwargs or {})
   vox_kwargs.setdefault("resolution", tuple(resolution))
 
+  # Spatial partitioning ("sp" analogue — SURVEY §5: the voxel grid is
+  # this workload's big dimension): when the mesh has a non-trivial
+  # 'space' axis, the GT grid and logits are constrained to
+  # P('data', 'space') so XLA partitions the 3D decoder spatially
+  # (with halo exchanges for the convs) instead of replicating it.
+  space_sharding = None
+  if mesh is not None and mesh.shape.get("space", 1) > 1:
+    from jax.sharding import NamedSharding, PartitionSpec
+    space_sharding = NamedSharding(mesh, PartitionSpec("data", "space"))
+
+  def constrain(x):
+    if space_sharding is None:
+      return x
+    return jax.lax.with_sharding_constraint(x, space_sharding)
+
   def step(state: TrainState, batch: Batch):
     if "grid" in batch:
       grid, v2x = batch["grid"], batch["v2x"]
@@ -80,6 +96,7 @@ def make_train_step(model,
       grid, v2x = gt.voxelize_batch(
           batch["triangles"], batch["tri_mesh_slot"], batch["tri_valid"],
           batch["mesh_labels"], batch["grid_offset"], **vox_kwargs)
+    grid = constrain(grid)
     v2s = compute_v2s(batch["camera"], v2x)
 
     def compute_loss(params):
@@ -87,6 +104,9 @@ def make_train_step(model,
           {"params": params, "batch_stats": state.batch_stats},
           batch["image"], v2s, batch["grid_offset"], train=True,
           mutable=["batch_stats"])
+      if space_sharding is not None:
+        logits = jax.lax.with_sharding_constraint(
+            logits, space_sharding)
       return loss_fn(grid, logits), updates
 
     (loss, updates), grads = jax.value_and_grad(

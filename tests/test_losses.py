@@ -87,3 +87,30 @@ def test_products():
   f = float(losses.iou_fgbg(gt, logits))
   tt.assert_allclose(float(losses.xent_times_iou_fgbg(gt, logits)),
                      (1 + f) * (1 + x), rtol=1e-6)
+
+
+def test_iou_fgbg_binary_fast_path_matches_general():
+  """C==2 fast path (sigmoid of logit difference) must equal the general
+  one-hot/softmax formulation."""
+  import jax
+  rng = np.random.default_rng(3)
+  logits2 = jnp.asarray(rng.standard_normal((2, 4, 4, 4, 2)).astype(
+      np.float32))
+  gt2 = jnp.asarray(rng.integers(0, 2, (2, 4, 4, 4)).astype(np.int32))
+  w2 = jnp.asarray(rng.random((2, 4, 4, 4)).astype(np.float32))
+
+  def general(gt, lg, w=None):
+    gt1 = jax.nn.one_hot(gt, 2, dtype=jnp.float32)[..., 1:].sum(-1)
+    gt1 = jnp.minimum(gt1, 1.0)
+    pred = jax.nn.softmax(lg, axis=-1)[..., 1:].sum(-1)
+    inter, union = jnp.minimum(gt1, pred), jnp.maximum(gt1, pred)
+    if w is not None:
+      inter, union = inter * w, union * w
+    inter = inter.reshape(2, -1).sum(1)
+    union = union.reshape(2, -1).sum(1)
+    return 1.0 - (inter / jnp.where(union == 0, 1.0, union)).mean()
+
+  tt.assert_allclose(float(losses.iou_fgbg(gt2, logits2)),
+                     float(general(gt2, logits2)), rtol=1e-6)
+  tt.assert_allclose(float(losses.iou_fgbg(gt2, logits2, w2)),
+                     float(general(gt2, logits2, w2)), rtol=1e-6)
