@@ -34,7 +34,9 @@ def main():
 
   import jax.numpy as _jnp
   resolution = (128, 128, 128)
-  batch = 4
+  # Throughput batch: the reference used 4/GPU (V100 memory-bound); one
+  # v5e chip sustains 8 with headroom, and scenes/sec/chip is the metric.
+  batch = 8
   model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
       resolution=resolution, num_output_channels=2)),
       compute_dtype=_jnp.bfloat16)
