@@ -43,6 +43,9 @@ class HostBatch:
   mesh_valid: np.ndarray     # bool[B, M]
   grid_offset: np.ndarray    # float32[B, 3]
   scene_ids: List[str]
+  # Optional precomputed step inputs (e.g. host-GT 'grid'/'v2x'), merged
+  # into step_inputs() output.
+  extra: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
 
   def step_inputs(self, task_type: str) -> Dict[str, np.ndarray]:
     """The pytree fed to the jitted train/eval step. Voxel content values
@@ -64,6 +67,7 @@ class HostBatch:
         "tri_valid": self.tri_valid,
         "mesh_labels": labels,
         "grid_offset": self.grid_offset,
+        **self.extra,
     }
 
 
@@ -195,3 +199,59 @@ def batch(elements: Sequence[DatasetElement],
       mesh_valid=mesh_valid,
       grid_offset=np.asarray(grid_offsets, np.float32),
       scene_ids=[e.scene_id for e in elements])
+
+
+def host_voxelize(hb: "HostBatch", task_type: str,
+                  resolution,
+                  image_resolution_multiplier: float = 4,
+                  conservative_rasterization: bool = True,
+                  projection_depth_multiplier: int = 1,
+                  sub_grid_sampling: bool = False,
+                  fill_inside: bool = True):
+  """Ground-truth grids on the HOST via the native C++ ops (cc/).
+
+  The alternative to on-device GT (train/gt.py): running rasterize + fill
+  in the data-loader workers overlaps GT generation with device compute,
+  trading host CPU for device time. Same semantics (same sampling rules,
+  oracle-tested); returns (grid int32[B, D, H, W], v2x float32[B, 4, 4])
+  ready to feed the jitted step as 'grid'/'v2x'.
+  """
+  from corenet_tpu.cc import native
+
+  d, h, w = (int(v) for v in resolution)
+  m = float(max(d, h, w))
+  b = hb.triangles.shape[0]
+  grids = np.zeros((b, d, h, w), np.int32)
+  v2x = np.broadcast_to(np.diag([m, m, m, 1.0]).astype(np.float32),
+                        (b, 4, 4)).copy()
+
+  if task_type == "FG_BG":
+    content = hb.mesh_valid.astype(np.int32)
+  elif task_type == "SEMANTIC":
+    content = hb.mesh_labels * hb.mesh_valid
+  else:
+    content = ((np.arange(hb.mesh_labels.shape[1], dtype=np.int32)[None] + 1)
+               * hb.mesh_valid)
+
+  for i in range(b):
+    valid = hb.tri_valid[i]
+    tris = hb.triangles[i][valid] * m + (hb.grid_offset[i] - 0.5)
+    slots = hb.tri_mesh_slot[i][valid]
+    order = np.argsort(slots, kind="stable")
+    tris, slots = tris[order], slots[order]
+    num_meshes = int(hb.mesh_valid[i].sum()) or 1
+    mesh_grids = native.voxelize_triangles(
+        tris.astype(np.float32), slots.astype(np.int32), num_meshes,
+        (d, h, w),
+        image_resolution_multiplier=image_resolution_multiplier,
+        conservative_rasterization=conservative_rasterization,
+        projection_depth_multiplier=projection_depth_multiplier,
+        sub_grid_sampling=sub_grid_sampling)
+    if fill_inside:
+      mesh_grids = native.fill_inside_voxels(mesh_grids)
+    if sub_grid_sampling:
+      mesh_grids = mesh_grids[:, 1::2, 1::2, 1::2]
+    labels = content[i][:num_meshes].astype(np.float32)
+    grids[i] = (mesh_grids * labels[:, None, None, None]).max(0).astype(
+        np.int32)
+  return grids, v2x

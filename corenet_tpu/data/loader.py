@@ -55,7 +55,11 @@ class DataLoader:
                random_grid_offset: bool = False,
                seed: int = 0,
                drop_last: bool = False,
-               pad_partial: bool = False):
+               pad_partial: bool = False,
+               batch_transform=None):
+    """batch_transform: optional fn(HostBatch) -> dict of extra step
+    inputs, run in the producer thread (e.g. native host-GT grids —
+    batching.host_voxelize — overlapping device compute)."""
     self.dataset = dataset
     self.batch_size = batch_size
     self.num_workers = max(1, num_workers)
@@ -67,6 +71,7 @@ class DataLoader:
     self.rng = np.random.default_rng(seed)
     self.drop_last = drop_last
     self.pad_partial = pad_partial
+    self.batch_transform = batch_transform
 
   def __len__(self):
     n = len(self.dataset)
@@ -86,6 +91,8 @@ class DataLoader:
     hb = batching.batch(elements, max_edge_view=self.max_edge_view,
                         triangle_buckets=self.triangle_buckets,
                         max_meshes=self.max_meshes, grid_offsets=offsets)
+    if self.batch_transform is not None:
+      hb.extra.update(self.batch_transform(hb))
     return hb, valid
 
   def __iter__(self) -> Iterator:

@@ -64,11 +64,18 @@ def model_config_from_train_config(config: cfg.TrainConfig,
 class TrainPipeline:
 
   def __init__(self, config: cfg.TrainConfig, output_path: str,
-               mesh=None, extra_metadata: Optional[Dict[str, Any]] = None):
+               mesh=None, extra_metadata: Optional[Dict[str, Any]] = None,
+               gt_mode: str = "device"):
+    """gt_mode: 'device' voxelizes GT inside the jitted step (TPU does the
+    rasterize+fill); 'host' computes GT with the native C++ ops in the
+    data-loader threads, overlapping device compute (trades host CPU for
+    device time)."""
     self.config = config
     self.output_path = output_path
     self.mesh = mesh if mesh is not None else mesh_lib.create_mesh()
     self.extra_metadata = extra_metadata or {}
+    assert gt_mode in ("device", "host")
+    self.gt_mode = gt_mode
 
     data_axis = self.mesh.shape["data"]
     per_host_batch = config.data.data_loader.batch_size
@@ -183,13 +190,30 @@ class TrainPipeline:
                               shuffle=False)
     shard = dataset.select(idx)
     dl_cfg = self.config.data.data_loader
+    batch_transform = None
+    if self.gt_mode == "host":
+      from corenet_tpu.data.batching import host_voxelize
+      vc = self.config.data.voxelization_config
+
+      def batch_transform(hb):
+        grid, v2x = host_voxelize(
+            hb, self.task_type, self.resolution,
+            image_resolution_multiplier=(
+                vc.voxelization_image_resolution_multiplier),
+            conservative_rasterization=vc.conservative_rasterization,
+            projection_depth_multiplier=(
+                vc.voxelization_projection_depth_multiplier),
+            sub_grid_sampling=vc.sub_grid_sampling)
+        return {"grid": grid, "v2x": v2x}
+
     return DataLoader(
         shard, batch_size=dl_cfg.batch_size,
         num_workers=dl_cfg.num_data_workers,
         prefetch_factor=dl_cfg.prefetch_factor,
         max_edge_view=self.max_edge_view,
         random_grid_offset=self.config.random_grid_offset,
-        seed=start_step, drop_last=True)
+        seed=start_step, drop_last=True,
+        batch_transform=batch_transform)
 
   def train_steps(self):
     """Infinite generator of (global_step, metrics). Re-creates the
