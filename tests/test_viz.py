@@ -106,3 +106,35 @@ def test_qualitative_scene_tile(tmp_path):
   import os
   files = sorted(os.listdir(tmp_path))
   assert files == ["img_scenes_s1.png"]
+
+
+def _l1(a, b):
+  return float(np.abs(a.astype(np.int32) - b.astype(np.int32)).mean())
+
+
+def test_mesh_render_matches_golden():
+  """Golden-image regression with an L1 budget (the reference's
+  scene_renderer_test scheme, against our own committed goldens)."""
+  import os
+  import PIL.Image
+  golden_dir = os.path.join(os.path.dirname(__file__), "golden")
+  tris = cube_mesh(0.25, 0.75)
+  colors = np.tile(np.array([[0.894, 0.102, 0.110]], np.float32), (12, 1))
+  cam = camera_util.default_camera([0, 0, 0], [1, 1, 1])
+  img = renderer.render_mesh(tris, colors, cam, (128, 128))
+  golden = np.asarray(PIL.Image.open(
+      os.path.join(golden_dir, "expected_image_mesh.png")))
+  assert _l1(img, golden) < 1.0
+
+
+def test_voxel_render_matches_golden():
+  import os
+  import PIL.Image
+  golden_dir = os.path.join(os.path.dirname(__file__), "golden")
+  grid = np.zeros((16, 16, 16), np.int32)
+  grid[4:12, 4:12, 4:12] = 1
+  grid[6:10, 6:10, 11:16] = 2
+  img = renderer.render_voxel_grid(grid, image_size=(128, 128))
+  golden = np.asarray(PIL.Image.open(
+      os.path.join(golden_dir, "expected_image_voxels.png")))
+  assert _l1(img, golden) < 1.0
