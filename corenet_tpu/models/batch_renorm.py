@@ -39,9 +39,10 @@ class BatchRenorm(nn.Module):
       assert x.shape[-1] % self.phase_packing == 0
       x = x.reshape(x.shape[:-1] +
                     (self.phase_packing, x.shape[-1] // self.phase_packing))
-    # Statistics and normalization run in float32 even for bf16
-    # activations; the output is cast back to the input dtype.
-    x = x.astype(jnp.float32)
+    # Statistics (means/vars/running state) are float32 regardless of the
+    # activation dtype — but the elementwise normalization stays in the
+    # input dtype, so bf16 activations never materialize f32 copies
+    # (these are the largest tensors in the decoder).
     num_channels = x.shape[-1]
     scale = self.param("scale", nn.initializers.ones, (num_channels,))
     bias = self.param("bias", nn.initializers.zeros, (num_channels,))
@@ -61,14 +62,18 @@ class BatchRenorm(nn.Module):
                              0.0, 2.0)
 
       reduce_axes = tuple(range(x.ndim - 1))
-      b_mean = jnp.mean(x, axis=reduce_axes)
-      b_var = jnp.mean(jnp.square(x - b_mean), axis=reduce_axes)
+      b_mean = jnp.mean(x, axis=reduce_axes, dtype=jnp.float32)
+      b_var = jnp.mean(
+          jnp.square((x - b_mean.astype(x.dtype)).astype(jnp.float32)),
+          axis=reduce_axes, dtype=jnp.float32)
       b_std = jnp.sqrt(b_var + self.eps)
 
       sg = jax.lax.stop_gradient
       r = jnp.clip(sg(b_std) / running_std, 1.0 / r_max, r_max)
       d = jnp.clip((sg(b_mean) - ra_mean.value) / running_std, -d_max, d_max)
-      y = (x - b_mean) / b_std * r + d
+      scale_eff = (r / b_std).astype(x.dtype)
+      shift_eff = (d - b_mean * r / b_std).astype(x.dtype)
+      y = x * scale_eff + shift_eff
 
       if not self.is_initializing():
         # Reference quirk: "unbias" with channels/(channels-1).
@@ -79,9 +84,11 @@ class BatchRenorm(nn.Module):
             sg(b_mean) - ra_mean.value)
         steps.value = steps.value + 1
     else:
-      y = (x - ra_mean.value) / running_std
+      inv = 1.0 / running_std
+      y = (x * inv.astype(x.dtype) +
+           (-ra_mean.value * inv).astype(x.dtype))
 
-    out = (scale * y + bias).astype(in_dtype)
+    out = (y * scale.astype(y.dtype) + bias.astype(y.dtype)).astype(in_dtype)
     if self.phase_packing > 1:
       out = out.reshape(in_shape)
     return out
