@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import math
-from typing import List, Mapping, Optional, Sequence, Tuple, Union
+from typing import Callable, List, Mapping, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -77,14 +77,23 @@ def to_dataset_element(ex: scene_lib.Scene, file_name: str,
       input_image=np.asarray(image, np.uint8))
 
 
+# A data transform maps (scene, element) → element, applied in order
+# after loading (the reference's PipelineTransformation hook,
+# dataset.py:84-86).
+DataTransform = Callable[["scene_lib.Scene", "DatasetElement"],
+                         "DatasetElement"]
+
+
 class CoreNetDatasetImpl:
   """A dataset backed by a JSON manifest on disk."""
 
   def __init__(self, dataset_path: str, meshes_dir: str,
-               high_realism: bool = True):
+               high_realism: bool = True,
+               data_transforms: Optional[List[DataTransform]] = None):
     self.dataset_path = dataset_path
     self.meshes_dir = meshes_dir
     self.high_realism = high_realism
+    self.data_transforms = list(data_transforms or [])
     manifest = json.loads(fs.read_text(dataset_path))
     classes = [DatasetClass(**c) for c in manifest["classes"]]
     self.root_directory = fs.dirname(dataset_path)
@@ -98,8 +107,11 @@ class CoreNetDatasetImpl:
     file_name = str(self.files[index])
     ex = scene_lib.load_from_npz(
         fs.join(self.root_directory, file_name), self.meshes_dir)
-    return to_dataset_element(ex, file_name, self.class_to_int_mapping,
-                              self.high_realism)
+    element = to_dataset_element(ex, file_name, self.class_to_int_mapping,
+                                 self.high_realism)
+    for transform in self.data_transforms:
+      element = transform(ex, element)
+    return element
 
 
 class CoreNetDataset:

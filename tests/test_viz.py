@@ -138,3 +138,17 @@ def test_voxel_render_matches_golden():
   golden = np.asarray(PIL.Image.open(
       os.path.join(golden_dir, "expected_image_voxels.png")))
   assert _l1(img, golden) < 1.0
+
+
+def test_render_scene_with_materials(tmp_path):
+  from corenet_tpu.data import scene as scene_lib
+  from corenet_tpu.viz.scene_renderer import render_scene
+  from helpers import make_fixture_dataset
+  manifest, meshes_dir = make_fixture_dataset(str(tmp_path), num_scenes=1)
+  import os, json
+  files = json.load(open(manifest))["files"]
+  sc = scene_lib.load_from_npz(
+      os.path.join(os.path.dirname(manifest), files[0]), meshes_dir)
+  img = render_scene(sc, image_size=(64, 64))
+  assert img.shape == (64, 64, 3)
+  assert (img != 255).any()  # something rendered
