@@ -46,7 +46,7 @@ def main():
   # An h5-like scene: one object, triangles subdivided (as the data loader
   # does) so each fits the rasterizer's sampling window.
   inputs = _example_inputs(batch, 256, resolution, num_tri=2048,
-                           num_mesh=1, max_edge_view=0.033)
+                           num_mesh=1, max_edge_view=0.06)
 
   with mesh:
     init_image = jnp.zeros((1, 256, 256, 3), jnp.uint8)
@@ -62,7 +62,7 @@ def main():
     train_step = make_train_step(
         model, optimizer, "FG_BG", resolution,
         voxelization_kwargs=dict(image_resolution_multiplier=4,
-                                 max_bbox_pixels=20),
+                                 max_bbox_pixels=32),
         donate=False)
     batch_on_mesh = mesh_lib.shard_batch(mesh, inputs)
 

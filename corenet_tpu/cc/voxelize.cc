@@ -103,8 +103,12 @@ void RasterizeTriangle(const float* v /*3x3 xyz*/, float* grid,
         covered = covered && (pu + hu >= umin) && (pu - hu <= umax) &&
                   (pv + hv >= vmin) && (pv - hv <= vmax);
       } else {
-        covered = (w0 >= 0 && w1 >= 0 && w2 >= 0) ||
-                  (w0 <= 0 && w1 <= 0 && w2 <= 0);
+        // Area-relative epsilon closes f32 cracks on shared edges (keeps
+        // interior flood fills watertight on subdivided meshes); matches
+        // the XLA voxelizer's rule.
+        const double eps = 1e-4 * std::fabs(area2);
+        covered = (w0 >= -eps && w1 >= -eps && w2 >= -eps) ||
+                  (w0 <= eps && w1 <= eps && w2 <= eps);
       }
       if (!covered) continue;
 

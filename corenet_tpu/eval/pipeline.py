@@ -106,7 +106,7 @@ class EvalPipeline:
     # Subdivide so every triangle fits the voxelizer's sampling window.
     m = max(resolution)
     irm = vc.voxelization_image_resolution_multiplier
-    max_edge_view = (VOXELIZE_WINDOW_PIXELS / irm) / m * 0.9
+    max_edge_view = (VOXELIZE_WINDOW_PIXELS - 4) / irm / m
 
     for start in range(0, len(shard), batch_size):
       elements = [shard[i] for i in range(start,

@@ -109,7 +109,10 @@ class TrainPipeline:
             max_bbox_pixels=VOXELIZE_WINDOW_PIXELS,
         ))
     m = max(self.resolution)
-    self.max_edge_view = (VOXELIZE_WINDOW_PIXELS / irm) / m * 0.9
+    # Subdivision target: a triangle's bbox is bounded by its longest
+    # edge, and the rasterizer window must cover bbox·irm plus ~4 px of
+    # sampling margin.
+    self.max_edge_view = (VOXELIZE_WINDOW_PIXELS - 4) / irm / m
 
     self.cpt_manager = cpt_lib.CheckpointManager(fs.join(output_path, "cpt"))
     self.tb_writer = (SummaryWriter(fs.join(output_path, "tb", "train"))

@@ -193,8 +193,15 @@ def voxelize_triangles(
                  (pv2 - half_v <= jnp.maximum(jnp.maximum(v0, v1), v2)))
       cov = cov & bbox_ok
     else:
-      pos_side = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-      neg_side = (w0 <= 0) & (w1 <= 0) & (w2 <= 0)
+      # Watertightness: adjacent triangles compute their edge functions
+      # independently in f32, so a sample exactly on a shared edge can
+      # test (barely) outside BOTH — a crack that lets the interior fill
+      # leak. An area-relative epsilon (scale-invariant, ~1e-4 of a
+      # pixel wide geometrically) closes cracks; shared subdivision
+      # midpoints are bitwise identical so the band always covers them.
+      eps = 1e-4 * jnp.abs(area2)
+      pos_side = (w0 >= -eps) & (w1 >= -eps) & (w2 >= -eps)
+      neg_side = (w0 <= eps) & (w1 <= eps) & (w2 <= eps)
       cov = pos_side | neg_side
 
     nz_area = jnp.abs(area2) > 0
