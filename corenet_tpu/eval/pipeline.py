@@ -64,6 +64,10 @@ class EvalPipeline:
     self.summary_writer = summary_writer
     self.dataset_manager = DatasetManager(eval_config.data)
     self.classes = self.dataset_manager.classes
+    # One jitted GT program reused across eval runs (compiles once).
+    self._cached_gt_fn = self._gt_fn(
+        eval_config.data.voxelization_config,
+        eval_config.data.data_loader.batch_size)
 
   def _gt_fn(self, vc: cfg.VoxelizationConfig, batch_size: int):
     resolution = vc.resolution.as_tuple()
@@ -102,7 +106,7 @@ class EvalPipeline:
           out_dir, self.config.num_qualitative_results,
           self.config.num_qualitative_results_in_tensor_board,
           self.summary_writer)
-    gt_fn = self._gt_fn(vc, batch_size)
+    gt_fn = self._cached_gt_fn
     # Subdivide so every triangle fits the voxelizer's sampling window.
     m = max(resolution)
     irm = vc.voxelization_image_resolution_multiplier

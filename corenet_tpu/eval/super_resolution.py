@@ -80,11 +80,12 @@ class SuperResolutionInference:
     return pmfs.reshape(b, m * d, m * h, m * w, c)
 
 
-def super_resolution_from_model(model, variables,
-                                resolution: Tuple[int, int, int],
-                                use_lax_map: bool = True
-                                ) -> SuperResolutionInference:
-  """Builds a SuperResolutionInference over a jitted CoreNet forward.
+def super_resolution_inference_factory(model,
+                                       resolution: Tuple[int, int, int],
+                                       use_lax_map: bool = True):
+  """Returns make(variables) → SuperResolutionInference over ONE jitted
+  program (variables are a traced argument, so recurrent evals with
+  updated parameters reuse the compiled executable).
 
   The per-offset forward (softmax over logits, voxel→screen =
   camera @ v2x⁻¹ like super_resolution.py:115-126) is mapped over the
@@ -92,16 +93,31 @@ def super_resolution_from_model(model, variables,
   """
   from corenet_tpu.train.step import compute_v2s
 
-  def single(image, camera, v2x, grid_offset):
+  def single(variables, image, camera, v2x, grid_offset):
     v2s = compute_v2s(camera, v2x)
     logits = model.apply(variables, image, v2s, grid_offset, train=False)
     return jax.nn.softmax(logits, axis=-1)
 
   @jax.jit
-  def multi(image, camera, v2x, grid_offsets):
+  def multi(variables, image, camera, v2x, grid_offsets):
     if use_lax_map:
       return jax.lax.map(
-          functools.partial(single, image, camera, v2x), grid_offsets)
-    return jax.vmap(lambda o: single(image, camera, v2x, o))(grid_offsets)
+          functools.partial(single, variables, image, camera, v2x),
+          grid_offsets)
+    return jax.vmap(
+        lambda o: single(variables, image, camera, v2x, o))(grid_offsets)
 
-  return SuperResolutionInference(multi, resolution)
+  def make(variables) -> SuperResolutionInference:
+    return SuperResolutionInference(
+        functools.partial(multi, variables), resolution)
+
+  return make
+
+
+def super_resolution_from_model(model, variables,
+                                resolution: Tuple[int, int, int],
+                                use_lax_map: bool = True
+                                ) -> SuperResolutionInference:
+  """One-shot convenience wrapper over the factory."""
+  return super_resolution_inference_factory(model, resolution,
+                                            use_lax_map)(variables)

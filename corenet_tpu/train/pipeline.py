@@ -30,7 +30,7 @@ from corenet_tpu.config.config import config_to_dict
 from corenet_tpu.data.loader import DataLoader, distributed_indices
 from corenet_tpu.data.manager import DatasetManager
 from corenet_tpu.eval.pipeline import EvalPipeline, VOXELIZE_WINDOW_PIXELS
-from corenet_tpu.eval.super_resolution import super_resolution_from_model
+from corenet_tpu.eval.super_resolution import super_resolution_inference_factory
 from corenet_tpu.models.corenet import CoreNet, CoreNetConfig, DecoderConfig
 from corenet_tpu.parallel import mesh as mesh_lib
 from corenet_tpu.train import checkpoint as cpt_lib
@@ -275,7 +275,9 @@ class TrainPipeline:
 
 
 class RecurrentEvals:
-  """Scheduled evals during training (train.py:43-90)."""
+  """Scheduled evals during training (train.py:43-90). Eval pipelines and
+  the jitted inference program are cached across runs — parameters are a
+  traced argument, so recurring evals reuse compiled executables."""
 
   def __init__(self, evals: List[cfg.RecurrentEvalConfig], output_path: str):
     self.configs = evals
@@ -284,6 +286,8 @@ class RecurrentEvals:
         misc.StepEvent(e.start_step, e.interval) if e.start_step >= 0 else None
         for e in evals
     ]
+    self._pipelines = {}
+    self._inference_factory = None
 
   def run(self, pipeline: TrainPipeline, prev_step: int, next_step: int,
           force: bool = False):
@@ -300,11 +304,18 @@ class RecurrentEvals:
                  step: int):
     variables = {"params": pipeline.state.params,
                  "batch_stats": pipeline.state.batch_stats}
-    native_res = pipeline.model_config.decoder.resolution
-    inference = super_resolution_from_model(
-        pipeline.model, variables, native_res)
+    if self._inference_factory is None:
+      native_res = pipeline.model_config.decoder.resolution
+      self._inference_factory = super_resolution_inference_factory(
+          pipeline.model, native_res)
+    inference = self._inference_factory(variables)
+
     evals_dir = fs.join(pipeline.output_path, "evals")
-    ep = EvalPipeline(eval_config, evals_dir, inference)
+    if eval_config.name not in self._pipelines:
+      self._pipelines[eval_config.name] = EvalPipeline(
+          eval_config, evals_dir, inference)
+    ep = self._pipelines[eval_config.name]
+    ep.inference_fn = inference
     miou = ep.run_eval(step)
     if pipeline.tb_writer is not None and miou is not None:
       pipeline.tb_writer.add_scalar(f"eval/{eval_config.name}/mIoU", miou,
