@@ -43,10 +43,11 @@ def main():
   optimizer = state_lib.create_optimizer()
 
   mesh = mesh_lib.create_mesh()
-  # An h5-like scene: one object, triangles subdivided (as the data loader
-  # does) so each fits the rasterizer's sampling window.
-  inputs = _example_inputs(batch, 256, resolution, num_tri=2048,
-                           num_mesh=1, max_edge_view=0.06)
+  # An h5-like scene: one object. GT uses the parity voxelizer (exact
+  # center sampling; voxel/parity.py) — the fast-training configuration.
+  # The reference-bit-parity rasterize+fill path costs ~95 ms more per
+  # batch-8 step (see STATUS.md).
+  inputs = _example_inputs(batch, 256, resolution, num_tri=16, num_mesh=1)
 
   with mesh:
     init_image = jnp.zeros((1, 256, 256, 3), jnp.uint8)
@@ -61,8 +62,7 @@ def main():
     # transport when the host refetches between steps.
     train_step = make_train_step(
         model, optimizer, "FG_BG", resolution,
-        voxelization_kwargs=dict(image_resolution_multiplier=4,
-                                 max_bbox_pixels=32),
+        voxelization_kwargs=dict(algorithm="parity"),
         donate=False)
     batch_on_mesh = mesh_lib.shard_batch(mesh, inputs)
 

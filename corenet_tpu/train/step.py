@@ -73,6 +73,10 @@ def make_train_step(model,
   loss_fn = loss_fn_for_task(task_type)
   vox_kwargs = dict(voxelization_kwargs or {})
   vox_kwargs.setdefault("resolution", tuple(resolution))
+  # 'raster' = rasterize + flood fill (bit-parity with the reference GT
+  # pipeline); 'parity' = exact center-sampling via XOR ray crossings
+  # (voxel/parity.py) — much faster, requires closed meshes.
+  gt_algorithm = vox_kwargs.pop("algorithm", "raster")
 
   # Spatial partitioning ("sp" analogue — SURVEY §5: the voxel grid is
   # this workload's big dimension): when the mesh has a non-trivial
@@ -92,6 +96,13 @@ def make_train_step(model,
   def step(state: TrainState, batch: Batch):
     if "grid" in batch:
       grid, v2x = batch["grid"], batch["v2x"]
+    elif gt_algorithm == "parity":
+      from corenet_tpu.voxel.parity import parity_voxelize_batch
+      grid, v2x = parity_voxelize_batch(
+          batch["triangles"], batch["tri_mesh_slot"], batch["tri_valid"],
+          batch["mesh_labels"], batch["grid_offset"],
+          num_mesh_slots=batch["mesh_labels"].shape[1],
+          resolution=vox_kwargs["resolution"])
     else:
       grid, v2x = gt.voxelize_batch(
           batch["triangles"], batch["tri_mesh_slot"], batch["tri_valid"],

@@ -143,3 +143,75 @@ def test_host_gt_matches_device_gt():
     tt.assert_array_equal(host_grid, np.asarray(dev_grid))
     tt.assert_allclose(host_v2x, np.asarray(dev_v2x))
     assert host_grid.max() >= 1
+
+
+def test_parity_voxelizer_exact_interior():
+  """Parity GT == exact center-point sampling; subset of rasterize+fill."""
+  from corenet_tpu.voxel.parity import parity_voxelize_batch
+
+  tris = cube_mesh(0.25, 0.75)
+  t = 16
+  scene = np.zeros((2, t, 3, 3), np.float32)
+  scene[:, :12] = tris
+  valid = np.zeros((2, t), bool)
+  valid[:, :12] = True
+  slot = np.zeros((2, t), np.int32)
+  labels = np.ones((2, 1), np.int32)
+
+  pg, v2x = parity_voxelize_batch(
+      jnp.asarray(scene), jnp.asarray(slot), jnp.asarray(valid),
+      jnp.asarray(labels), jnp.full((2, 3), 0.5, jnp.float32),
+      num_mesh_slots=1, resolution=(16, 16, 16))
+  pg = np.asarray(pg)
+  expected = np.zeros((16, 16, 16), np.int32)
+  expected[4:12, 4:12, 4:12] = 1  # centers strictly inside [4, 12]^3
+  tt.assert_array_equal(pg[0], expected)
+  tt.assert_allclose(np.asarray(v2x[0]), np.diag([16, 16, 16, 1.0]))
+
+  rg, _ = jax.jit(functools.partial(
+      gt_lib.voxelize_batch, resolution=(16, 16, 16),
+      image_resolution_multiplier=8, fill_inside=True))(
+          jnp.asarray(scene), jnp.asarray(slot), jnp.asarray(valid),
+          jnp.asarray(labels), jnp.full((2, 3), 0.5, jnp.float32))
+  assert (pg <= np.asarray(rg)).all()  # raster ⊇ parity (grazed voxels)
+
+  # Offsets shift the sampled interior per-axis.
+  off = jnp.asarray(np.array([[0.2, 0.7, 0.9], [0.5, 0.5, 0.01]],
+                             np.float32))
+  pg2, _ = parity_voxelize_batch(
+      jnp.asarray(scene), jnp.asarray(slot), jnp.asarray(valid),
+      jnp.asarray(labels), off, num_mesh_slots=1, resolution=(16, 16, 16))
+  pg2 = np.asarray(pg2)
+
+  def axis_mask(o):
+    return (np.arange(16) + o > 4) & (np.arange(16) + o < 12)
+
+  ez = axis_mask(0.9)[:, None, None]
+  ey = axis_mask(0.7)[None, :, None]
+  ex = axis_mask(0.2)[None, None, :]
+  tt.assert_array_equal(pg2[0], (ez & ey & ex).astype(np.int32))
+
+
+def test_parity_train_step_runs():
+  from corenet_tpu.models.corenet import CoreNet, CoreNetConfig, DecoderConfig
+  from corenet_tpu.train import state as state_lib
+  from corenet_tpu.train.step import make_train_step
+  import sys
+  sys.path.insert(0, "/root/repo")
+  from __graft_entry__ import _example_inputs
+
+  res = (32, 32, 32)
+  inputs = _example_inputs(1, 32, res, num_tri=16, num_mesh=1)
+  model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
+      resolution=res, num_output_channels=2)))
+  opt = state_lib.create_optimizer()
+  variables = jax.jit(lambda: model.init(
+      jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.uint8),
+      jnp.eye(4)[None], jnp.full((1, 3), 0.5), train=False))()
+  state = state_lib.create_train_state(variables, opt)
+  step = make_train_step(model, opt, "FG_BG", res,
+                         voxelization_kwargs=dict(algorithm="parity"),
+                         donate=False)
+  new_state, metrics = step(state, inputs)
+  assert np.isfinite(float(metrics["loss"]))
+  assert int(new_state.global_step) == 1
