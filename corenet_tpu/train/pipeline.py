@@ -65,17 +65,22 @@ class TrainPipeline:
 
   def __init__(self, config: cfg.TrainConfig, output_path: str,
                mesh=None, extra_metadata: Optional[Dict[str, Any]] = None,
-               gt_mode: str = "device"):
-    """gt_mode: 'device' voxelizes GT inside the jitted step (TPU does the
-    rasterize+fill); 'host' computes GT with the native C++ ops in the
-    data-loader threads, overlapping device compute (trades host CPU for
-    device time)."""
+               gt_mode: str = "device", gt_algorithm: str = "raster"):
+    """gt_mode: 'device' voxelizes GT inside the jitted step; 'host'
+    computes GT with the native C++ ops in the data-loader threads,
+    overlapping device compute (trades host CPU for device time).
+    gt_algorithm ('device' mode): 'raster' = rasterize+fill, bit-parity
+    with the reference GT pipeline; 'parity' = exact center sampling via
+    XOR ray crossings (voxel/parity.py) — ~2x faster steps, requires
+    closed meshes."""
     self.config = config
     self.output_path = output_path
     self.mesh = mesh if mesh is not None else mesh_lib.create_mesh()
     self.extra_metadata = extra_metadata or {}
     assert gt_mode in ("device", "host")
+    assert gt_algorithm in ("raster", "parity")
     self.gt_mode = gt_mode
+    self.gt_algorithm = gt_algorithm
 
     data_axis = self.mesh.shape["data"]
     per_host_batch = config.data.data_loader.batch_size
@@ -101,6 +106,7 @@ class TrainPipeline:
     self.train_step = make_train_step(
         self.model, self.optimizer, self.task_type, self.resolution,
         voxelization_kwargs=dict(
+            algorithm=gt_algorithm,
             sub_grid_sampling=vc.sub_grid_sampling,
             image_resolution_multiplier=irm,
             conservative_rasterization=vc.conservative_rasterization,

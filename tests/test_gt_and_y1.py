@@ -215,3 +215,34 @@ def test_parity_train_step_runs():
   new_state, metrics = step(state, inputs)
   assert np.isfinite(float(metrics["loss"]))
   assert int(new_state.global_step) == 1
+
+
+def test_y1_subgrid_train_step_runs():
+  """The y1 training configuration end-to-end through the jitted step:
+  32³ FG_BG with sub-grid sampling and random offsets."""
+  from corenet_tpu.models.corenet import CoreNet, CoreNetConfig, DecoderConfig
+  from corenet_tpu.train import state as state_lib
+  from corenet_tpu.train.step import make_train_step
+  import sys
+  sys.path.insert(0, "/root/repo")
+  from __graft_entry__ import _example_inputs
+
+  res = (32, 32, 32)
+  inputs = _example_inputs(1, 32, res, num_tri=16, num_mesh=1)
+  inputs["grid_offset"] = np.random.RandomState(1).rand(1, 3).astype(
+      np.float32)
+  model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
+      resolution=res, num_output_channels=2)))
+  opt = state_lib.create_optimizer()
+  variables = jax.jit(lambda: model.init(
+      jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.uint8),
+      jnp.eye(4)[None], jnp.full((1, 3), 0.5), train=False))()
+  state = state_lib.create_train_state(variables, opt)
+  step = make_train_step(
+      model, opt, "FG_BG", res,
+      voxelization_kwargs=dict(sub_grid_sampling=True,
+                               image_resolution_multiplier=3,
+                               conservative_rasterization=True),
+      donate=False)
+  new_state, metrics = step(state, inputs)
+  assert np.isfinite(float(metrics["loss"]))
