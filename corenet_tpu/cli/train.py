@@ -46,6 +46,12 @@ class ProgramArgs:
   multihost: bool = flags.flag(
       "Call jax.distributed.initialize() for multi-host meshes",
       default=False)
+  gt_mode: str = flags.flag(
+      "GT generation: 'device' (in the jitted step) or 'host' (native C++"
+      " in loader threads)", default="device")
+  gt_algorithm: str = flags.flag(
+      "'raster' (reference-bit-parity rasterize+fill) or 'parity' (exact"
+      " center sampling, ~2x faster, closed meshes)", default="raster")
 
 
 def main(argv=None):
@@ -67,7 +73,8 @@ def main(argv=None):
   pipeline = TrainPipeline(
       config.train, config.output_path,
       extra_metadata={"train_config": config_to_dict(config.train),
-                      "full_config": config_to_dict(config)})
+                      "full_config": config_to_dict(config)},
+      gt_mode=args.gt_mode, gt_algorithm=args.gt_algorithm)
   evals = RecurrentEvals(config.eval, config.output_path)
   max_steps = args.max_steps if args.max_steps >= 0 else None
   pipeline.run(recurrent_evals=evals, max_steps=max_steps)
