@@ -19,7 +19,6 @@ import jax
 
 from corenet_tpu.config import TrainPipeline as TrainPipelineConfig
 from corenet_tpu.config import config_from_dict
-from corenet_tpu.data.manager import DatasetManager
 from corenet_tpu.eval.pipeline import EvalPipeline
 from corenet_tpu.eval.super_resolution import super_resolution_from_model
 from corenet_tpu.models.corenet import CoreNet

@@ -119,7 +119,7 @@ def main(argv=None):
   import jax
   import jax.numpy as jnp
   from corenet_tpu.cli.import_resnet50_checkpoint import (
-      flat_tree_to_nested, load_encoder_variables)
+      load_encoder_variables)
   from corenet_tpu.config import (TrainPipeline, config_to_dict,
                                   load_config_file, parse_template_mapping)
   from corenet_tpu.data.manager import DatasetManager

@@ -16,7 +16,7 @@ import dataclasses
 import enum
 import types
 import typing
-from typing import Any, List, Mapping, MutableMapping, Optional, Tuple, TypeVar
+from typing import Any, List, Mapping, MutableMapping, Tuple, TypeVar
 
 WITH_TEMPLATES_MARKER = "with_templates"
 

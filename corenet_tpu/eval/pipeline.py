@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import functools
 import logging
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from corenet_tpu.data import batching
 from corenet_tpu.data.manager import DatasetManager
 from corenet_tpu.eval.results import QuantitativeResults
 from corenet_tpu.train import gt as gt_lib
-from corenet_tpu.utils import fs, misc
+from corenet_tpu.utils import fs
 
 log = logging.getLogger(__name__)
 

@@ -14,7 +14,7 @@ over Gloo — renders land on disk per host; the summary writer on process
 from __future__ import annotations
 
 import io
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -16,7 +16,7 @@ process_allgather sum (replacing torch.distributed.reduce over NCCL).
 from __future__ import annotations
 
 import io
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ of counting a ConvTranspose's fan_in over the *output* channels.
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence, Tuple, Union
+from typing import Any, Tuple, Union
 
 import flax.linen as nn
 import jax

@@ -31,7 +31,7 @@ unpacked decoder and gradients flow to the same tree.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ XLA's partitioner inserts the gradient reductions.
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 from typing import Any, Dict, List, Optional
 

@@ -8,7 +8,7 @@ step += world_size * batch per iteration, pipeline.py:230-233).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Mapping
+from typing import Any, Mapping
 
 import flax.struct
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ SEMANTIC → xent_times_iou_agnostic.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -10,7 +10,7 @@ projection whose Y axis is flipped so image rows run top-down.
 from __future__ import annotations
 
 import math
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -17,7 +17,6 @@ import numpy as np
 
 from corenet_tpu import geom
 from corenet_tpu.data.scene import Scene
-from corenet_tpu.viz import camera as camera_util
 from corenet_tpu.viz import renderer
 from corenet_tpu.viz.colors import DEFAULT_COLOR_PALETTE
 
