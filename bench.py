@@ -1,21 +1,41 @@
 """Benchmark: training-step throughput of the flagship 128³ model.
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "scenes/sec/chip", "vs_baseline": N}
+All diagnostics (per-phase timings, per-window throughputs) go to stderr
+so an anomalous run is self-diagnosing.
 
 Measures the steady-state full training step — on-device GT voxelization
-(triangle rasterize + interior fill) → CoreNet forward → loss → Adam —
-for the h5/h7 configuration (FG_BG, 128³ decode, 256² images, batch 4)
-on one chip.
+(triangle rasterize + interior fill, or exact XOR-parity sampling) →
+CoreNet forward → loss → Adam — for the h5/h7 configuration (FG_BG,
+128³ decode, 256² images) on one chip.
+
+Robustness: one compile step, a blocked warmup run, then NUM_WINDOWS
+independent timing windows of STEPS_PER_WINDOW steps each; the reported
+number is the MEDIAN window (a single transport stall or cache-cold event
+cannot shift the median the way it shifted round 1's single 10-step
+window — BENCH_r01.json recorded 11.98 vs the 41.6 steady state).
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
 the denominator is an 8 scenes/sec estimate for the reference's
 synchronous-DDP step on one V100 (batch 4; GL voxelize + CUDA fill +
 ResNet50+3D-decoder fwd/bwd) — the ≥5× target of BASELINE.json then
 corresponds to vs_baseline ≥ 5.
+
+Variants (diagnostic, run with --suite or individually):
+  --gt {parity,raster}   GT algorithm (default parity — the fast
+                         training configuration; raster is bit-parity
+                         with the reference GL+CUDA GT pipeline)
+  --tris N               approximate triangles/scene (default 16; the
+                         cube shell is subdivided to reach N — use
+                         2500/25000 for realistic scene complexity)
+  --profile DIR          capture a jax.profiler trace of the timed steps
 """
 
+import argparse
 import json
+import statistics
+import sys
 import time
 
 import numpy as np
@@ -23,34 +43,65 @@ import numpy as np
 V100_BASELINE_SCENES_PER_SEC = 8.0
 
 
-def main():
+def log(msg):
+  print(msg, file=sys.stderr, flush=True)
+
+
+def _scene_inputs(batch, image_size, resolution, num_tri, num_mesh):
+  """Cube-shell scene subdivided to ~num_tri triangles (realistic GT load:
+  triangle count is what drives the rasterize/scatter cost)."""
+  from __graft_entry__ import _example_inputs
+  if num_tri <= 16:
+    return _example_inputs(batch, image_size, resolution,
+                           num_tri=max(num_tri, 12), num_mesh=num_mesh)
+  # Subdivide the 0.4-wide cube shell until the budget is filled.
+  # Each halving of max_edge ≈ 4× the triangle count (12 → 48 → 192 ...).
+  edge = 0.4
+  max_edge = edge / max(1.0, float(np.sqrt(num_tri / 24.0)))
+  inputs = _example_inputs(batch, image_size, resolution,
+                           num_tri=num_tri, num_mesh=num_mesh,
+                           max_edge_view=max_edge)
+  return inputs
+
+
+def run_variant(*, gt, tris, batch, image_size, windows, steps, warmup,
+                profile_dir=None):
+  import os
   import jax
+  jax.config.update("jax_compilation_cache_dir",
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache"))
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
   import jax.numpy as jnp
   from corenet_tpu.models.corenet import CoreNet, CoreNetConfig, DecoderConfig
   from corenet_tpu.parallel import mesh as mesh_lib
   from corenet_tpu.train import state as state_lib
   from corenet_tpu.train.step import make_train_step
-  from __graft_entry__ import _example_inputs
 
-  import jax.numpy as _jnp
   resolution = (128, 128, 128)
-  # Throughput batch: the reference used 4/GPU (V100 memory-bound); one
-  # v5e chip sustains 8 with headroom, and scenes/sec/chip is the metric.
-  batch = 8
   model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
       resolution=resolution, num_output_channels=2)),
-      compute_dtype=_jnp.bfloat16)
+      compute_dtype=jnp.bfloat16)
   optimizer = state_lib.create_optimizer()
-
   mesh = mesh_lib.create_mesh()
-  # An h5-like scene: one object. GT uses the parity voxelizer (exact
-  # center sampling; voxel/parity.py) — the fast-training configuration.
-  # The reference-bit-parity rasterize+fill path costs ~95 ms more per
-  # batch-8 step (see STATUS.md).
-  inputs = _example_inputs(batch, 256, resolution, num_tri=16, num_mesh=1)
+
+  t_setup = time.perf_counter()
+  inputs = _scene_inputs(batch, image_size, resolution, tris, num_mesh=1)
+  n_valid = int(inputs["tri_valid"][0].sum())
+  log(f"[bench] variant gt={gt} tris={n_valid} (budget {tris}) "
+      f"batch={batch} image={image_size}")
+
+  if gt == "parity":
+    vox_kwargs = dict(algorithm="parity")
+  else:
+    # h5 voxelization config (configs/models/h5.json5): irm=8, non-
+    # conservative, full-image window is wasteful — production subdivides
+    # triangles (data/batching.py) so a small window covers each bbox.
+    vox_kwargs = dict(algorithm="raster", image_resolution_multiplier=8,
+                      max_bbox_pixels=48)
 
   with mesh:
-    init_image = jnp.zeros((1, 256, 256, 3), jnp.uint8)
+    init_image = jnp.zeros((1, image_size, image_size, 3), jnp.uint8)
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), init_image, jnp.eye(4)[None],
         jnp.full((1, 3), 0.5), train=False))()
@@ -62,33 +113,88 @@ def main():
     # transport when the host refetches between steps.
     train_step = make_train_step(
         model, optimizer, "FG_BG", resolution,
-        voxelization_kwargs=dict(algorithm="parity"),
-        donate=False)
+        voxelization_kwargs=vox_kwargs, donate=False)
     batch_on_mesh = mesh_lib.shard_batch(mesh, inputs)
+    log(f"[bench] setup {time.perf_counter() - t_setup:.1f}s")
 
-    # Warmup (compile + 2 steps). NOTE: block_until_ready does not reliably
-    # block under the axon transport; a host fetch of the loss scalar does,
-    # and each step depends on the previous state, so fetching the final
-    # loss bounds the whole chain.
-    for _ in range(3):
-      state, metrics = train_step(state, batch_on_mesh)
-    float(jax.device_get(metrics["loss"]))
-
-    num_steps = 10
+    # Compile (1 step) — NOTE: block_until_ready does not reliably block
+    # under the axon transport; a host fetch of the loss scalar does, and
+    # each step depends on the previous state, so fetching the final loss
+    # bounds the whole chain.
     t0 = time.perf_counter()
-    for _ in range(num_steps):
+    state, metrics = train_step(state, batch_on_mesh)
+    float(jax.device_get(metrics["loss"]))
+    log(f"[bench] compile+first step {time.perf_counter() - t0:.1f}s")
+
+    # Warmup: settle transport/caches before any timed window.
+    t0 = time.perf_counter()
+    for _ in range(warmup):
       state, metrics = train_step(state, batch_on_mesh)
     float(jax.device_get(metrics["loss"]))
-    dt = time.perf_counter() - t0
+    log(f"[bench] warmup {warmup} steps "
+        f"{time.perf_counter() - t0:.2f}s")
+
+    ctx = None
+    if profile_dir:
+      ctx = jax.profiler.trace(profile_dir)
+      ctx.__enter__()
+      log(f"[bench] profiling to {profile_dir}")
+
+    window_tputs = []
+    for w in range(windows):
+      t0 = time.perf_counter()
+      for _ in range(steps):
+        state, metrics = train_step(state, batch_on_mesh)
+      float(jax.device_get(metrics["loss"]))
+      dt = time.perf_counter() - t0
+      tput = batch * steps / dt
+      window_tputs.append(tput)
+      log(f"[bench] window {w}: {dt:.3f}s for {steps} steps "
+          f"→ {tput:.1f} scenes/s ({1000 * dt / steps:.1f} ms/step)")
+
+    if ctx is not None:
+      ctx.__exit__(None, None, None)
 
   n_chips = len(jax.devices())
-  scenes_per_sec_per_chip = batch * num_steps / dt / n_chips
+  median = statistics.median(window_tputs) / n_chips
+  log(f"[bench] median {median:.1f} scenes/s/chip over {windows} windows "
+      f"(min {min(window_tputs):.1f}, max {max(window_tputs):.1f})")
+  return median
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument("--gt", choices=["parity", "raster"], default="parity")
+  p.add_argument("--tris", type=int, default=16)
+  p.add_argument("--batch", type=int, default=8)
+  p.add_argument("--image_size", type=int, default=256)
+  p.add_argument("--windows", type=int, default=5)
+  p.add_argument("--steps", type=int, default=20)
+  p.add_argument("--warmup", type=int, default=10)
+  p.add_argument("--profile", type=str, default=None)
+  p.add_argument("--suite", action="store_true",
+                 help="run the diagnostic variant suite (results on stderr)"
+                      " before the headline measurement")
+  args = p.parse_args()
+
+  if args.suite:
+    for gt, tris in [("raster", 16), ("raster", 2500), ("raster", 25000),
+                     ("parity", 2500)]:
+      v = run_variant(gt=gt, tris=tris, batch=args.batch,
+                      image_size=args.image_size, windows=3,
+                      steps=args.steps, warmup=args.warmup)
+      log(f"[bench] SUITE gt={gt} tris={tris}: {v:.1f} scenes/s/chip "
+          f"({v / V100_BASELINE_SCENES_PER_SEC:.2f}x)")
+
+  value = run_variant(gt=args.gt, tris=args.tris, batch=args.batch,
+                      image_size=args.image_size, windows=args.windows,
+                      steps=args.steps, warmup=args.warmup,
+                      profile_dir=args.profile)
   print(json.dumps({
       "metric": "train_scenes_per_sec_per_chip_128cubed",
-      "value": round(scenes_per_sec_per_chip, 3),
+      "value": round(value, 3),
       "unit": "scenes/sec/chip",
-      "vs_baseline": round(
-          scenes_per_sec_per_chip / V100_BASELINE_SCENES_PER_SEC, 3),
+      "vs_baseline": round(value / V100_BASELINE_SCENES_PER_SEC, 3),
   }))
 
 
