@@ -46,6 +46,10 @@ class ProgramArgs:
   multihost: bool = flags.flag(
       "Call jax.distributed.initialize() for multi-host meshes",
       default=False)
+  space: int = flags.flag(
+      "Size of the 'space' mesh axis: shards the voxel grid's depth axis"
+      " across chips (spatial partitioning of the 3D decoder; devices /"
+      " space become the 'data' axis)", default=1)
   gt_mode: str = flags.flag(
       "GT generation: 'device' (in the jitted step) or 'host' (native C++"
       " in loader threads)", default="device")
@@ -70,8 +74,13 @@ def main(argv=None):
       jq_transforms=args.jq_transform, set_overrides=args.set,
       template_overrides=parse_template_mapping(args.template_value))
 
+  mesh = None
+  if args.space > 1:
+    from corenet_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.create_mesh(space=args.space)
+
   pipeline = TrainPipeline(
-      config.train, config.output_path,
+      config.train, config.output_path, mesh=mesh,
       extra_metadata={"train_config": config_to_dict(config.train),
                       "full_config": config_to_dict(config)},
       gt_mode=args.gt_mode, gt_algorithm=args.gt_algorithm)

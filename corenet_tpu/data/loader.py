@@ -103,20 +103,40 @@ class DataLoader:
 
     q: queue.Queue = queue.Queue(maxsize=self.prefetch_factor)
     sentinel = object()
+    # A consumer that abandons the epoch (max_steps exit mid-epoch — the
+    # normal exit path of train/pipeline.py) closes the generator; the
+    # stop event unblocks the producer so no thread/batch leaks.
+    stop = threading.Event()
+
+    def put(item) -> bool:
+      while not stop.is_set():
+        try:
+          q.put(item, timeout=0.1)
+          return True
+        except queue.Full:
+          pass
+      return False
 
     def producer():
       with ThreadPoolExecutor(self.num_workers) as pool:
         try:
           for s in batch_starts:
+            if stop.is_set():
+              break
             idx = list(range(s, min(s + self.batch_size, n)))
-            q.put(self._load_batch(idx, pool))
+            if not put(self._load_batch(idx, pool)):
+              break
         finally:
-          q.put(sentinel)
+          put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-      item = q.get()
-      if item is sentinel:
-        break
-      yield item
+    try:
+      while True:
+        item = q.get()
+        if item is sentinel:
+          break
+        yield item
+    finally:
+      stop.set()
+      t.join(timeout=30)

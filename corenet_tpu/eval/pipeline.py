@@ -154,4 +154,11 @@ class EvalPipeline:
       quantitative.write_csv(fs.join(out_dir, "voxel_metrics.csv"))
       log.info("Eval '%s' mIoU=%.4f", self.config.name,
                quantitative.get_mean_iou())
+    if jax.process_index() == 0 and self.summary_writer is not None:
+      # Per-class IoU/Precision/Recall + General/* scalars, the
+      # reference's per-eval tensorboard stream
+      # (evaluation_results.py:213-238).
+      for name, value in quantitative.scalar_summaries().items():
+        self.summary_writer.add_scalar(name, value, global_step)
+      self.summary_writer.flush()
     return quantitative.get_mean_iou() if df is not None else None

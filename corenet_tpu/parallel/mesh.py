@@ -55,8 +55,36 @@ def grid_sharding(mesh: Mesh) -> NamedSharding:
   return NamedSharding(mesh, P("data", "space"))
 
 
-def shard_batch(mesh: Mesh, batch):
-  """Places a host-global batch pytree onto the mesh, sharded on axis 0."""
-  sharding = batch_sharding(mesh)
+def replicate_tree(mesh: Mesh, tree):
+  """Replicates a pytree across the mesh (parameters / optimizer state).
+
+  Works multi-process: every process passes the same host-local value and
+  the global replicated array is assembled from process-local data
+  (plain device_put cannot target non-addressable devices)."""
+  sharding = replicated_sharding(mesh)
+  if jax.process_count() == 1:
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
   return jax.tree_util.tree_map(
-      lambda x: jax.device_put(x, sharding), batch)
+      lambda x: jax.make_array_from_process_local_data(
+          sharding, np.asarray(x)), tree)
+
+
+def shard_batch(mesh: Mesh, batch):
+  """Places a batch pytree onto the mesh, sharded on axis 0.
+
+  Single-process: `batch` is the global batch; a plain device_put shards
+  it over 'data'. Multi-process: `batch` is each process's HOST-LOCAL
+  shard (what its DataLoader produced); the global array is assembled
+  with jax.make_array_from_process_local_data, so per-host batches
+  concatenate into the global batch — the DDP semantics of the reference
+  (pipeline.py:199-201: per-worker loaders + gradient all-reduce), where
+  global_batch = per_host_batch * process_count.
+  """
+  sharding = batch_sharding(mesh)
+  if jax.process_count() == 1:
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+  return jax.tree_util.tree_map(
+      lambda x: jax.make_array_from_process_local_data(
+          sharding, np.asarray(x)), batch)

@@ -112,7 +112,11 @@ class TrainPipeline:
             projection_depth_multiplier=(
                 vc.voxelization_projection_depth_multiplier),
             max_bbox_pixels=VOXELIZE_WINDOW_PIXELS,
-        ))
+        ),
+        # With a non-trivial 'space' axis the GT grid and logits are
+        # constrained to P('data', 'space') inside the step, so the 3D
+        # decoder partitions spatially (train/step.py:84-93).
+        mesh=self.mesh)
     m = max(self.resolution)
     # Subdivision target: a triangle's bbox is bounded by its longest
     # edge, and the rasterizer window must cover bbox·irm plus ~4 px of
@@ -153,10 +157,8 @@ class TrainPipeline:
     assert loaded is not None
     state, _, path = loaded
     log.info("Loaded checkpoint %s (step %d)", path, int(state.global_step))
-    # Replicate across the mesh.
-    sharding = mesh_lib.replicated_sharding(self.mesh)
-    self.state = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), state)
+    # Replicate across the mesh (multi-host safe).
+    self.state = mesh_lib.replicate_tree(self.mesh, state)
     return self.state
 
   def _extra_metadata(self) -> Dict[str, Any]:
@@ -317,8 +319,13 @@ class RecurrentEvals:
 
     evals_dir = fs.join(pipeline.output_path, "evals")
     if eval_config.name not in self._pipelines:
+      # Per-eval tensorboard stream at tb/<eval_name> (train.py:60-63,
+      # evaluation_results.py:213-238 in the reference).
+      writer = (SummaryWriter(
+          fs.join(pipeline.output_path, "tb", eval_config.name))
+          if jax.process_index() == 0 else None)
       self._pipelines[eval_config.name] = EvalPipeline(
-          eval_config, evals_dir, inference)
+          eval_config, evals_dir, inference, summary_writer=writer)
     ep = self._pipelines[eval_config.name]
     ep.inference_fn = inference
     miou = ep.run_eval(step)

@@ -46,3 +46,116 @@ def test_two_process_confusion_reduce(tmp_path):
   for i, (p, out) in enumerate(zip(procs, outs)):
     assert p.returncode == 0, f"proc {i} failed:\n{out}"
     assert f"proc {i} ok" in out
+
+
+# Two JAX processes, one CPU device each, forming a ('data'=2,) mesh: every
+# process feeds ONLY ITS OWN row of the batch through shard_batch (the
+# multi-host global-batch assembly of parallel/mesh.py), runs one full
+# train step, and the loss must equal the single-process loss on the
+# concatenated batch — the reference's DDP semantics
+# (pipeline.py:199-201, distributed.py:96-138).
+_TRAIN_WORKER = textwrap.dedent("""
+    import sys, os
+    os.environ["PYTHONPATH"] = ""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    repo = %r
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    pid = int(sys.argv[1])
+    jax.distributed.initialize(coordinator_address="127.0.0.1:%d",
+                               num_processes=2, process_id=pid)
+    assert jax.process_count() == 2 and len(jax.devices()) == 2
+    sys.path.insert(0, repo)
+    import numpy as np
+    import jax.numpy as jnp
+    from corenet_tpu.models.corenet import (
+        CoreNet, CoreNetConfig, DecoderConfig)
+    from corenet_tpu.parallel import mesh as mesh_lib
+    from corenet_tpu.train import state as state_lib
+    from corenet_tpu.train.step import make_train_step
+    from __graft_entry__ import _example_inputs
+
+    resolution = (32, 32, 32)
+    model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
+        resolution=resolution, num_output_channels=2)))
+    optimizer = state_lib.create_optimizer()
+    mesh = mesh_lib.create_mesh()
+    with mesh:
+      init_image = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+      variables = jax.jit(lambda: model.init(
+          jax.random.PRNGKey(0), init_image, jnp.eye(4)[None],
+          jnp.full((1, 3), 0.5), train=False))()
+      state = state_lib.create_train_state(variables, optimizer)
+      state = mesh_lib.replicate_tree(mesh, state)
+      step = make_train_step(
+          model, optimizer, "FG_BG", resolution,
+          voxelization_kwargs=dict(image_resolution_multiplier=2,
+                                   max_bbox_pixels=24),
+          donate=False, mesh=mesh)
+      full = _example_inputs(2, 64, resolution)
+      local = {k: v[pid:pid + 1] for k, v in full.items()}
+      batch = mesh_lib.shard_batch(mesh, local)
+      new_state, metrics = step(state, batch)
+      loss = float(jax.device_get(metrics["loss"]))
+      assert int(new_state.global_step) == 2, int(new_state.global_step)
+    expected = float(open(sys.argv[2]).read())
+    assert abs(loss - expected) <= 1e-5 * max(1.0, abs(expected)), (
+        loss, expected)
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("done")
+    print(f"proc {pid} trainstep ok", flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_train_step_matches_single(tmp_path):
+  # Single-process expected loss on the concatenated batch, one device.
+  import jax
+  import jax.numpy as jnp
+  from corenet_tpu.models.corenet import (
+      CoreNet, CoreNetConfig, DecoderConfig)
+  from corenet_tpu.parallel import mesh as mesh_lib
+  from corenet_tpu.train import state as state_lib
+  from corenet_tpu.train.step import make_train_step
+  from __graft_entry__ import _example_inputs
+
+  resolution = (32, 32, 32)
+  model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
+      resolution=resolution, num_output_channels=2)))
+  optimizer = state_lib.create_optimizer()
+  mesh = mesh_lib.create_mesh(data=1, space=1, devices=jax.devices()[:1])
+  with mesh:
+    init_image = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), init_image, jnp.eye(4)[None],
+        jnp.full((1, 3), 0.5), train=False))()
+    state = state_lib.create_train_state(variables, optimizer)
+    state = mesh_lib.replicate_tree(mesh, state)
+    step = make_train_step(
+        model, optimizer, "FG_BG", resolution,
+        voxelization_kwargs=dict(image_resolution_multiplier=2,
+                                 max_bbox_pixels=24),
+        donate=False, mesh=mesh)
+    batch = mesh_lib.shard_batch(mesh, _example_inputs(2, 64, resolution))
+    _, metrics = step(state, batch)
+    expected = float(jax.device_get(metrics["loss"]))
+
+  expected_file = tmp_path / "expected_loss.txt"
+  expected_file.write_text(repr(expected))
+
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  port = 19743
+  script = tmp_path / "train_worker.py"
+  script.write_text(_TRAIN_WORKER % (repo, port))
+  env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+  env.pop("XLA_FLAGS", None)
+  procs = [subprocess.Popen(
+      [sys.executable, str(script), str(i), str(expected_file)], env=env,
+      stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+      for i in range(2)]
+  outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+  for i, (p, out) in enumerate(zip(procs, outs)):
+    assert p.returncode == 0, f"proc {i} failed:\n{out}"
+    assert f"proc {i} trainstep ok" in out
