@@ -47,21 +47,30 @@ def log(msg):
   print(msg, file=sys.stderr, flush=True)
 
 
-def _scene_inputs(batch, image_size, resolution, num_tri, num_mesh):
-  """Cube-shell scene subdivided to ~num_tri triangles (realistic GT load:
-  triangle count is what drives the rasterize/scatter cost)."""
+def _scene_inputs(batch, image_size, resolution, num_tri, num_mesh,
+                  required_max_edge=None):
+  """Cube-shell scene subdivided to ≥ num_tri triangles (realistic GT
+  load: triangle count is what drives the rasterize/scatter cost).
+  required_max_edge additionally enforces the rasterizer window contract
+  (the production subdivision target)."""
   from __graft_entry__ import _example_inputs
-  if num_tri <= 16:
+  from corenet_tpu.data.batching import subdivide_triangles
+  if num_tri <= 16 and required_max_edge is None:
     return _example_inputs(batch, image_size, resolution,
                            num_tri=max(num_tri, 12), num_mesh=num_mesh)
   # Subdivide the 0.4-wide cube shell until the budget is filled.
-  # Each halving of max_edge ≈ 4× the triangle count (12 → 48 → 192 ...).
+  # Each halving of max_edge ≈ 4x the triangle count (12 → 48 → 192 ...).
   edge = 0.4
   max_edge = edge / max(1.0, float(np.sqrt(num_tri / 24.0)))
-  inputs = _example_inputs(batch, image_size, resolution,
-                           num_tri=num_tri, num_mesh=num_mesh,
-                           max_edge_view=max_edge)
-  return inputs
+  if required_max_edge is not None:
+    max_edge = min(max_edge, required_max_edge)
+  # Pre-count so the padded budget equals the subdivided count.
+  cube = _example_inputs(1, 8, resolution, num_tri=16,
+                         num_mesh=1)["triangles"][0][:12]
+  count = subdivide_triangles(np.asarray(cube), max_edge).shape[0]
+  return _example_inputs(batch, image_size, resolution,
+                         num_tri=count, num_mesh=num_mesh,
+                         max_edge_view=max_edge)
 
 
 def run_variant(*, gt, tris, batch, image_size, windows, steps, warmup,
@@ -86,19 +95,23 @@ def run_variant(*, gt, tris, batch, image_size, windows, steps, warmup,
   mesh = mesh_lib.create_mesh()
 
   t_setup = time.perf_counter()
-  inputs = _scene_inputs(batch, image_size, resolution, tris, num_mesh=1)
+  if gt == "parity":
+    vox_kwargs = dict(algorithm="parity")
+    required_max_edge = None
+  else:
+    # h5 voxelization config (configs/models/h5.json5): irm=8, non-
+    # conservative, the production window (eval/pipeline.py
+    # VOXELIZE_WINDOW_PIXELS) with the matching subdivision target — the
+    # configuration the blocked fast path (voxel/raster_fast.py) serves.
+    irm, window = 8, 24
+    vox_kwargs = dict(algorithm="raster", image_resolution_multiplier=irm,
+                      max_bbox_pixels=window)
+    required_max_edge = (window - 4) / irm / max(resolution)
+  inputs = _scene_inputs(batch, image_size, resolution, tris, num_mesh=1,
+                         required_max_edge=required_max_edge)
   n_valid = int(inputs["tri_valid"][0].sum())
   log(f"[bench] variant gt={gt} tris={n_valid} (budget {tris}) "
       f"batch={batch} image={image_size}")
-
-  if gt == "parity":
-    vox_kwargs = dict(algorithm="parity")
-  else:
-    # h5 voxelization config (configs/models/h5.json5): irm=8, non-
-    # conservative, full-image window is wasteful — production subdivides
-    # triangles (data/batching.py) so a small window covers each bbox.
-    vox_kwargs = dict(algorithm="raster", image_resolution_multiplier=8,
-                      max_bbox_pixels=48)
 
   with mesh:
     init_image = jnp.zeros((1, image_size, image_size, 3), jnp.uint8)

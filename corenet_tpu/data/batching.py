@@ -97,7 +97,7 @@ def subdivide_triangles(triangles: np.ndarray,
     longest = lengths.max(axis=1)
     too_big = longest > max_edge
     if not too_big.any():
-      return tris
+      return tris[_morton_order(tris)] if len(tris) else tris
     keep = tris[~too_big]
     split = tris[too_big]
     which = lengths[too_big].argmax(axis=1)  # longest edge index
@@ -108,6 +108,27 @@ def subdivide_triangles(triangles: np.ndarray,
     t1 = np.stack([a, mid, c], axis=1)
     t2 = np.stack([mid, b, c], axis=1)
     tris = np.concatenate([keep, t1, t2], axis=0)
+
+
+def _morton_order(tris: np.ndarray) -> np.ndarray:
+  """Spatial (Morton/Z-curve) ordering of triangles by centroid.
+
+  Subdivision emits triangles in breadth-first split order, which has no
+  spatial locality; the blocked rasterizer (voxel/raster_fast.py) merges
+  consecutive triangles that land in the same voxel block, so a
+  locality-preserving order makes most of its duplicate-merges fire.
+  Voxelization itself is order-independent.
+  """
+  c = tris.mean(axis=1)  # [T, 3]
+  lo = c.min(axis=0)
+  span = np.maximum(c.max(axis=0) - lo, 1e-9)
+  q = np.clip((c - lo) / span * 1023, 0, 1023).astype(np.uint64)
+  code = np.zeros(len(tris), np.uint64)
+  for b in range(10):
+    for a in range(3):
+      code |= ((q[:, a] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+          3 * b + a)
+  return np.argsort(code, kind="stable")
 
 
 def _pad_to_bucket(n: int, buckets: Optional[Sequence[int]] = None) -> int:

@@ -1,0 +1,123 @@
+"""Pallas TPU kernel: OR-scatter of per-triangle packed voxel blocks into
+bit-packed occupancy grids.
+
+This replaces the rasterizer's fragment scatter — the one operation XLA
+cannot do fast on TPU (lax.scatter costs ~13µs per update; ~1.3s for a
+realistic batch where this kernel needs tens of ms). Counterpart of the
+reference's GL framebuffer blend + imageStore (voxelize.frag:40-58): the
+framebuffer's atomic OR becomes a serial VMEM read-modify-write over
+triangles, race-free by construction.
+
+Contract: each (subdivided) triangle contributes an 8(y) × 8(x) × 8(z)
+voxel block of occupancy bits at a dynamic (slot, oy, ox) origin, with the
+8 z-bits pre-shifted into NW z-words (see voxel/packed.py layout):
+  origins  int32[B, T]: (slot * H + oy) * W + ox, or -1 to skip
+  pw       uint32[B, T, 8, 8*NW]: packed z-words, lane index dx*NW + w
+  out      uint32[B, M, H, W*NW]: lane index x*NW + w (reshape to
+           [B, M, H, W, NW] for the packed-grid layout)
+
+oy ∈ [0, H-8], ox ∈ [0, W-8]. Runs compiled on TPU; everywhere else (the
+virtual-CPU test mesh) the same kernel runs through the Pallas
+interpreter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DB = 8  # voxel block extent per axis
+
+
+def _kernel(origin_ref, pw_ref, out_ref, *, h, w, nw):
+  lanes = w * nw
+  chunk = origin_ref.shape[0]
+
+  @pl.when(pl.program_id(1) == 0)
+  def _():
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+  row8 = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
+  cell8 = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 1) // nw
+
+  def body(t, _):
+    o = origin_ref[t]
+
+    @pl.when(o >= 0)
+    def _():
+      ox = o % w
+      oy = (o // w) % h
+      slot = o // (w * h)
+      oy_al = (oy // 8) * 8
+      ry = oy - oy_al
+      pw = pw_ref[0, t]  # [8, 8*NW]
+      pw_t = pltpu.repeat(pw, lanes // (DB * nw), axis=1)  # [8, lanes]
+      pw_placed = pltpu.roll(pltpu.roll(pw_t, ox * nw, 1), ry, 0)
+      lmask = (cell8 >= ox) & (cell8 < ox + DB)
+
+      @pl.when(ry == 0)
+      def _():
+        blk = jnp.where(lmask, pw_placed, 0)
+        cur = out_ref[0, slot, pl.ds(oy_al, 8), :]
+        out_ref[0, slot, pl.ds(oy_al, 8), :] = cur | blk
+
+      @pl.when(ry > 0)
+      def _():
+        # Straddles two 8-row tiles; the wrapped sublane roll has already
+        # put the tail rows at the top.
+        blk_lo = jnp.where(lmask & (row8 >= ry), pw_placed, 0)
+        cur = out_ref[0, slot, pl.ds(oy_al, 8), :]
+        out_ref[0, slot, pl.ds(oy_al, 8), :] = cur | blk_lo
+        blk_hi = jnp.where(lmask & (row8 < ry), pw_placed, 0)
+        cur2 = out_ref[0, slot, pl.ds(oy_al + 8, 8), :]
+        out_ref[0, slot, pl.ds(oy_al + 8, 8), :] = cur2 | blk_hi
+
+    return 0
+
+  jax.lax.fori_loop(0, chunk, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("meshes", "h", "w", "nw",
+                                             "chunk", "interpret"))
+def block_scatter_or(origins: jnp.ndarray,  # int32[B, T]
+                     pw: jnp.ndarray,       # uint32[B, T, 8, 8*NW]
+                     *,
+                     meshes: int,
+                     h: int,
+                     w: int,
+                     nw: int,
+                     chunk: int = 1024,
+                     interpret: bool | None = None) -> jnp.ndarray:
+  """Returns uint32[B, meshes, h, w*nw] OR-accumulated packed grids."""
+  b, t = origins.shape
+  assert pw.shape == (b, t, DB, DB * nw), pw.shape
+  chunk = min(chunk, t)
+  if t % chunk:
+    pad = chunk - t % chunk
+    origins = jnp.pad(origins, ((0, 0), (0, pad)), constant_values=-1)
+    pw = jnp.pad(pw, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    t += pad
+  nc = t // chunk
+  if interpret is None:
+    interpret = jax.default_backend() != "tpu"
+
+  kernel = functools.partial(_kernel, h=h, w=w, nw=nw)
+  return pl.pallas_call(
+      kernel,
+      grid=(b, nc),
+      in_specs=[
+          pl.BlockSpec((chunk,), lambda i, c: (i * nc + c,),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((1, chunk, DB, DB * nw), lambda i, c: (i, c, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((1, meshes, h, w * nw),
+                             lambda i, c: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((b, meshes, h, w * nw), jnp.uint32),
+      interpret=interpret,
+  )(origins.reshape(-1), pw)

@@ -29,6 +29,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from corenet_tpu.voxel import raster_fast
 from corenet_tpu.voxel.fill import fill_inside_voxels
 from corenet_tpu.voxel.voxelize import get_sub_grid_centers, voxelize_triangles
 
@@ -78,21 +79,76 @@ def voxelize_scene(triangles: jnp.ndarray,
   return jnp.max(labeled, axis=0).astype(jnp.int32)
 
 
+def _blocked_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
+                   grid_offsets, *, resolution,
+                   image_resolution_multiplier,
+                   conservative_rasterization, fill_inside):
+  """Fast blocked path (voxel/raster_fast.py): subdivided triangles →
+  bit-packed Pallas block scatter → packed flood fill → labeled grid."""
+  d, h, w = resolution
+  m = float(max(d, h, w))
+  b, num_mesh_slots = mesh_labels.shape
+
+  shift = grid_offsets - 0.5  # [B, 3]
+  w2x = jnp.concatenate([
+      jnp.concatenate(
+          [jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * m, (b, 3, 3)),
+           shift[:, :, None]], axis=2),
+      jnp.broadcast_to(jnp.array([[[0.0, 0.0, 0.0, 1.0]]], jnp.float32),
+                       (b, 1, 4)),
+  ], axis=1)  # [B, 4, 4]
+  view2voxel = jnp.broadcast_to(w2x[:, None], (b, num_mesh_slots, 4, 4))
+
+  mesh_grids = raster_fast.voxelize_blocked(
+      triangles, tri_mesh_slot, view2voxel, tri_valid,
+      num_meshes=num_mesh_slots, resolution=tuple(resolution),
+      image_resolution_multiplier=int(image_resolution_multiplier),
+      conservative_rasterization=conservative_rasterization,
+      fill_inside=fill_inside)  # f32[B, M, D, H, W]
+  labeled = mesh_grids * mesh_labels.astype(jnp.float32)[:, :, None, None,
+                                                         None]
+  return jnp.max(labeled, axis=1).astype(jnp.int32)
+
+
 def voxelize_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
                    grid_offsets, **kwargs):
-  """vmap of voxelize_scene over a leading batch dimension.
+  """Batched GT voxelization.
+
+  Dispatches to the blocked fast path (voxel/raster_fast.py: Pallas block
+  scatter + packed fill) when the configuration satisfies its contract —
+  the production h5/h7/m7/m9 settings do — and otherwise falls back to a
+  vmap of the general rasterizer.
 
   Returns (grid int32[B, D, H, W], v2x float32[B, 4, 4]) where v2x is the
   *unshifted* world→voxel transform scale(max(D,H,W)), matching the
   v2x_transform the reference stores on the batch (batched_example.py:197)
   and later inverts for the model's voxel→screen matrix (pipeline.py:220).
   """
-  fn = functools.partial(voxelize_scene, **kwargs)
-  grid = jax.vmap(fn)(triangles, tri_mesh_slot, tri_valid, mesh_labels,
-                      grid_offsets)
   d, h, w = kwargs["resolution"]
   m = float(max(d, h, w))
   b = triangles.shape[0]
   v2x = jnp.broadcast_to(
       jnp.diag(jnp.array([m, m, m, 1.0], jnp.float32)), (b, 4, 4))
+
+  if raster_fast.blocked_eligible(
+      resolution=kwargs["resolution"],
+      sub_grid_sampling=kwargs.get("sub_grid_sampling", False),
+      image_resolution_multiplier=kwargs.get(
+          "image_resolution_multiplier", 4),
+      projection_depth_multiplier=kwargs.get(
+          "projection_depth_multiplier", 1),
+      max_bbox_pixels=kwargs.get("max_bbox_pixels")):
+    grid = _blocked_batch(
+        triangles, tri_mesh_slot, tri_valid, mesh_labels, grid_offsets,
+        resolution=kwargs["resolution"],
+        image_resolution_multiplier=kwargs.get(
+            "image_resolution_multiplier", 4),
+        conservative_rasterization=kwargs.get(
+            "conservative_rasterization", True),
+        fill_inside=kwargs.get("fill_inside", True))
+    return grid, v2x
+
+  fn = functools.partial(voxelize_scene, **kwargs)
+  grid = jax.vmap(fn)(triangles, tri_mesh_slot, tri_valid, mesh_labels,
+                      grid_offsets)
   return grid, v2x

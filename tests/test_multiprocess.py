@@ -16,7 +16,10 @@ _WORKER = textwrap.dedent("""
     jax.config.update("jax_platforms", "cpu")
     pid = int(sys.argv[1])
     jax.distributed.initialize(coordinator_address="127.0.0.1:%d",
-                               num_processes=2, process_id=pid)
+                               num_processes=2, process_id=pid,
+                               initialization_timeout=600,
+                               heartbeat_timeout_seconds=900,
+                               shutdown_timeout_seconds=900)
     sys.path.insert(0, %r)
     import numpy as np
     from corenet_tpu.eval.results import QuantitativeResults
@@ -64,8 +67,13 @@ _TRAIN_WORKER = textwrap.dedent("""
                       os.path.join(repo, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     pid = int(sys.argv[1])
+    # Generous timeouts: this can run on a single-core host where two
+    # simultaneous XLA compiles starve the heartbeat threads for minutes.
     jax.distributed.initialize(coordinator_address="127.0.0.1:%d",
-                               num_processes=2, process_id=pid)
+                               num_processes=2, process_id=pid,
+                               initialization_timeout=600,
+                               heartbeat_timeout_seconds=900,
+                               shutdown_timeout_seconds=900)
     assert jax.process_count() == 2 and len(jax.devices()) == 2
     sys.path.insert(0, repo)
     import numpy as np
@@ -89,15 +97,26 @@ _TRAIN_WORKER = textwrap.dedent("""
           jnp.full((1, 3), 0.5), train=False))()
       state = state_lib.create_train_state(variables, optimizer)
       state = mesh_lib.replicate_tree(mesh, state)
+      # Parity GT: its collective schedule is static. The raster GT's
+      # interior-fill while_loop has a data-dependent trip count whose
+      # per-round 1-byte cond all-reduce desynchronizes Gloo's stream
+      # pairing on the CPU backend (TPU orders collectives correctly).
       step = make_train_step(
           model, optimizer, "FG_BG", resolution,
-          voxelization_kwargs=dict(image_resolution_multiplier=2,
-                                   max_bbox_pixels=24),
+          voxelization_kwargs=dict(algorithm="parity"),
           donate=False, mesh=mesh)
       full = _example_inputs(2, 64, resolution)
       local = {k: v[pid:pid + 1] for k, v in full.items()}
       batch = mesh_lib.shard_batch(mesh, local)
-      new_state, metrics = step(state, batch)
+      # AOT-compile, then rendezvous on the coordination-service barrier
+      # (NOT a collective): the first execution initializes Gloo contexts,
+      # which have a hard 30s KeyValue timeout — on a single-core host the
+      # two workers' compiles can skew by minutes.
+      compiled = step.lower(state, batch).compile()
+      from jax._src import distributed
+      distributed.global_state.client.wait_at_barrier(
+          "compiled", 1200 * 1000)
+      new_state, metrics = compiled(state, batch)
       loss = float(jax.device_get(metrics["loss"]))
       assert int(new_state.global_step) == 2, int(new_state.global_step)
     expected = float(open(sys.argv[2]).read())
@@ -111,7 +130,11 @@ _TRAIN_WORKER = textwrap.dedent("""
 
 @pytest.mark.slow
 def test_two_process_train_step_matches_single(tmp_path):
-  # Single-process expected loss on the concatenated batch, one device.
+  # Single-process expected loss on the concatenated batch. Uses a
+  # 2-device mesh — the IDENTICAL program the workers run — so this
+  # compile populates the persistent cache and the workers (which race a
+  # hard 30s Gloo-context init timeout on a single-core host) load it in
+  # seconds instead of compiling for minutes at different speeds.
   import jax
   import jax.numpy as jnp
   from corenet_tpu.models.corenet import (
@@ -125,7 +148,7 @@ def test_two_process_train_step_matches_single(tmp_path):
   model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
       resolution=resolution, num_output_channels=2)))
   optimizer = state_lib.create_optimizer()
-  mesh = mesh_lib.create_mesh(data=1, space=1, devices=jax.devices()[:1])
+  mesh = mesh_lib.create_mesh(data=2, space=1, devices=jax.devices()[:2])
   with mesh:
     init_image = jnp.zeros((1, 64, 64, 3), jnp.uint8)
     variables = jax.jit(lambda: model.init(
@@ -135,8 +158,7 @@ def test_two_process_train_step_matches_single(tmp_path):
     state = mesh_lib.replicate_tree(mesh, state)
     step = make_train_step(
         model, optimizer, "FG_BG", resolution,
-        voxelization_kwargs=dict(image_resolution_multiplier=2,
-                                 max_bbox_pixels=24),
+        voxelization_kwargs=dict(algorithm="parity"),
         donate=False, mesh=mesh)
     batch = mesh_lib.shard_batch(mesh, _example_inputs(2, 64, resolution))
     _, metrics = step(state, batch)
@@ -155,7 +177,7 @@ def test_two_process_train_step_matches_single(tmp_path):
       [sys.executable, str(script), str(i), str(expected_file)], env=env,
       stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
       for i in range(2)]
-  outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+  outs = [p.communicate(timeout=1200)[0].decode() for p in procs]
   for i, (p, out) in enumerate(zip(procs, outs)):
     assert p.returncode == 0, f"proc {i} failed:\n{out}"
     assert f"proc {i} trainstep ok" in out
