@@ -56,6 +56,14 @@ class ProgramArgs:
   gt_algorithm: str = flags.flag(
       "'raster' (reference-bit-parity rasterize+fill) or 'parity' (exact"
       " center sampling, ~2x faster, closed meshes)", default="raster")
+  profile_dir: str = flags.flag(
+      "When set, capture a jax.profiler trace (xplane) of profile_steps"
+      " training iterations into this directory", default="")
+  profile_start: int = flags.flag(
+      "Loop iteration at which the profiler trace starts (skip"
+      " compile/warmup)", default=20)
+  profile_steps: int = flags.flag(
+      "Number of iterations to trace", default=10)
 
 
 def main(argv=None):
@@ -86,7 +94,10 @@ def main(argv=None):
       gt_mode=args.gt_mode, gt_algorithm=args.gt_algorithm)
   evals = RecurrentEvals(config.eval, config.output_path)
   max_steps = args.max_steps if args.max_steps >= 0 else None
-  pipeline.run(recurrent_evals=evals, max_steps=max_steps)
+  pipeline.run(recurrent_evals=evals, max_steps=max_steps,
+               profile_dir=args.profile_dir or None,
+               profile_start=args.profile_start,
+               profile_steps=args.profile_steps)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,12 @@ class DataLoaderConfig:
   num_data_workers: int = 6
   batch_size: int = 4
   prefetch_factor: int = 2
+  # Decode scenes in worker PROCESSES (GIL-free, like the reference's
+  # forking torch DataLoader, pipeline.py:102-123) instead of threads.
+  # NPZ+WebP decode is Python/zlib-bound; on many-core TPU-VM hosts
+  # threads serialize on the GIL. Falls back to threads automatically
+  # when the dataset cannot be pickled to workers.
+  worker_processes: bool = True
 
 
 @dataclasses.dataclass

@@ -1,11 +1,20 @@
-"""Prefetching data loader: threaded scene loading + batch assembly.
+"""Prefetching data loader: parallel scene decode + batch assembly.
 
 Replaces the reference's torch DataLoader + DistributedSampler
 (/root/reference/src/corenet/pipeline.py:102-123,
 distributed.py:204-230) with a host-side prefetch pipeline that feeds the
-jitted step: worker threads decode scene NPZs, batches assemble into
-padded HostBatch buffers, and a bounded queue keeps `prefetch_factor`
-batches in flight while the device computes.
+jitted step: workers decode scene NPZs, batches assemble into padded
+HostBatch buffers, and a bounded queue keeps `prefetch_factor` batches in
+flight while the device computes.
+
+Workers are PROCESSES by default (matching the reference's forking
+torch DataLoader workers): NPZ+WebP decode is Python/zlib-bound, so on a
+many-core TPU-VM host threads would serialize on the GIL. Workers use the
+`spawn` start method — forking a process whose JAX/TPU runtime threads
+hold locks is unsafe — and receive the (pickled) dataset once via the
+pool initializer; per-item traffic is one int in, one DatasetElement out.
+Datasets that cannot be pickled (e.g. closure data_transforms) fall back
+to threads automatically.
 
 Sharding: deterministic permutation (seed 0x1234 by default, like the
 reference sampler) of the dataset, split into contiguous per-process
@@ -15,15 +24,34 @@ eval leaves the tail uneven (pad_data=False).
 
 from __future__ import annotations
 
+import logging
+import multiprocessing
+import pickle
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
 from corenet_tpu.data import batching
 from corenet_tpu.data.dataset import CoreNetDataset
+
+log = logging.getLogger(__name__)
+
+# Worker-process state: the dataset is shipped once via the pool
+# initializer (spawn pickles these module-level fns by reference; the
+# child imports only numpy-level modules).
+_WORKER_DATASET = None
+
+
+def _worker_init(payload: bytes) -> None:
+  global _WORKER_DATASET
+  _WORKER_DATASET = pickle.loads(payload)
+
+
+def _worker_get(index: int):
+  return _WORKER_DATASET[int(index)]
 
 
 def distributed_indices(num_examples: int, num_shards: int, shard: int,
@@ -56,10 +84,15 @@ class DataLoader:
                seed: int = 0,
                drop_last: bool = False,
                pad_partial: bool = False,
-               batch_transform=None):
+               batch_transform=None,
+               worker_processes: Optional[bool] = None):
     """batch_transform: optional fn(HostBatch) -> dict of extra step
     inputs, run in the producer thread (e.g. native host-GT grids —
-    batching.host_voxelize — overlapping device compute)."""
+    batching.host_voxelize — overlapping device compute).
+
+    worker_processes: True = decode in spawned worker processes,
+    False = threads, None (default) = processes when num_workers > 1
+    and the dataset is picklable."""
     self.dataset = dataset
     self.batch_size = batch_size
     self.num_workers = max(1, num_workers)
@@ -72,6 +105,34 @@ class DataLoader:
     self.drop_last = drop_last
     self.pad_partial = pad_partial
     self.batch_transform = batch_transform
+    self.worker_processes = worker_processes
+    self._dataset_payload: Optional[bytes] = None
+
+  def _make_pool(self):
+    """A per-epoch decode pool: ProcessPoolExecutor (spawn) when enabled
+    and the dataset pickles, else ThreadPoolExecutor."""
+    want = self.worker_processes
+    if want is None:
+      # Auto: processes pay off when decode can actually parallelize —
+      # on a 1-2 core host the spawn/IPC overhead exceeds the GIL cost.
+      import os
+      want = self.num_workers > 1 and (os.cpu_count() or 1) >= 4
+    if want:
+      try:
+        if self._dataset_payload is None:
+          self._dataset_payload = pickle.dumps(
+              self.dataset, protocol=pickle.HIGHEST_PROTOCOL)
+        return ProcessPoolExecutor(
+            self.num_workers,
+            mp_context=multiprocessing.get_context("spawn"),
+            initializer=_worker_init,
+            initargs=(self._dataset_payload,)), _worker_get
+      except Exception as e:  # unpicklable dataset / no mp support
+        if self.worker_processes:
+          raise
+        log.warning("falling back to thread workers: %s", e)
+    return (ThreadPoolExecutor(self.num_workers),
+            lambda i: self.dataset[int(i)])
 
   def __len__(self):
     n = len(self.dataset)
@@ -79,8 +140,8 @@ class DataLoader:
       return n // self.batch_size
     return -(-n // self.batch_size)
 
-  def _load_batch(self, indices, pool):
-    elements = list(pool.map(lambda i: self.dataset[int(i)], indices))
+  def _load_batch(self, indices, pool, fetch):
+    elements = list(pool.map(fetch, indices))
     valid = np.zeros([self.batch_size], bool)
     valid[:len(elements)] = True
     while len(elements) < self.batch_size:
@@ -118,13 +179,14 @@ class DataLoader:
       return False
 
     def producer():
-      with ThreadPoolExecutor(self.num_workers) as pool:
+      pool, fetch = self._make_pool()
+      with pool:
         try:
           for s in batch_starts:
             if stop.is_set():
               break
             idx = list(range(s, min(s + self.batch_size, n)))
-            if not put(self._load_batch(idx, pool)):
+            if not put(self._load_batch(idx, pool, fetch)):
               break
         finally:
           put(sentinel)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from corenet_tpu.config import config as cfg
-from corenet_tpu.data import batching
+from corenet_tpu.data.loader import DataLoader
 from corenet_tpu.data.manager import DatasetManager
 from corenet_tpu.eval.results import QuantitativeResults
 from corenet_tpu.train import gt as gt_lib
@@ -112,14 +112,14 @@ class EvalPipeline:
     irm = vc.voxelization_image_resolution_multiplier
     max_edge_view = (VOXELIZE_WINDOW_PIXELS - 4) / irm / m
 
-    for start in range(0, len(shard), batch_size):
-      elements = [shard[i] for i in range(start,
-                                          min(start + batch_size, len(shard)))]
-      valid = np.zeros([batch_size], bool)
-      valid[:len(elements)] = True
-      while len(elements) < batch_size:  # pad with the first element
-        elements.append(elements[0])
-      hb = batching.batch(elements, max_edge_view=max_edge_view)
+    dl_cfg = self.config.data.data_loader
+    loader = DataLoader(
+        shard, batch_size=batch_size,
+        num_workers=dl_cfg.num_data_workers,
+        prefetch_factor=dl_cfg.prefetch_factor,
+        max_edge_view=max_edge_view,
+        worker_processes=None if dl_cfg.worker_processes else False)
+    for hb, valid in loader:
       inputs = hb.step_inputs(task_type)
       grid, v2x = gt_fn(inputs["triangles"], inputs["tri_mesh_slot"],
                         inputs["tri_valid"], inputs["mesh_labels"],

@@ -34,12 +34,23 @@ def visualize_scene_output(input_image: np.ndarray,
                            meshes: Sequence[np.ndarray],
                            mesh_labels: Sequence[int],
                            grid_to_view: np.ndarray,
-                           image_size=(256, 256)) -> np.ndarray:
-  """One scene's qualitative tile (evaluation_results.py:54-117)."""
+                           image_size=(256, 256),
+                           max_surface_triangles: int = 30_000
+                           ) -> np.ndarray:
+  """One scene's qualitative tile (evaluation_results.py:54-117).
+
+  The predicted surface renders as an extracted marching-tetrahedra mesh
+  (the reference's MarchingCubesArtifact) unless it exceeds
+  max_surface_triangles — a barely-trained model's near-noise PMF can
+  yield millions of sliver triangles, where the O(pixels) raycast
+  isosurface is the sane rendering — rasterization cost is O(T·H·W)."""
   pred_labels = np.argmax(pmf, axis=-1).astype(np.int32)
+  surface = art.MeshSurfaceArtifact(pmf, grid_to_world=grid_to_view)
+  if sum(m.shape[0] for m in surface.meshes) > max_surface_triangles:
+    surface = art.IsosurfaceArtifact(pmf, grid_to_world=grid_to_view)
   items = [
       art.ImageArtifact(input_image),
-      art.IsosurfaceArtifact(pmf, grid_to_world=grid_to_view),
+      surface,
       art.VoxelGridArtifact(pred_labels, grid_to_world=grid_to_view),
       art.VoxelGridArtifact(gt_grid, grid_to_world=grid_to_view),
       art.MultiMeshArtifact(meshes, mesh_labels),

@@ -223,7 +223,9 @@ class TrainPipeline:
         max_edge_view=self.max_edge_view,
         random_grid_offset=self.config.random_grid_offset,
         seed=start_step, drop_last=True,
-        batch_transform=batch_transform)
+        batch_transform=batch_transform,
+        # config True = auto (processes with thread fallback), False = threads
+        worker_processes=None if dl_cfg.worker_processes else False)
 
   def train_steps(self):
     """Infinite generator of (global_step, metrics). Re-creates the
@@ -244,9 +246,17 @@ class TrainPipeline:
         raise RuntimeError("Empty training dataset")
 
   def run(self, recurrent_evals: Optional["RecurrentEvals"] = None,
-          max_steps: Optional[int] = None):
+          max_steps: Optional[int] = None,
+          profile_dir: Optional[str] = None,
+          profile_start: int = 20, profile_steps: int = 10):
     """The main training loop with checkpoint/eval cadence
-    (train.py:138-176)."""
+    (train.py:138-176).
+
+    profile_dir: when set, captures a jax.profiler trace (xplane, viewable
+    in TensorBoard / xprof) of `profile_steps` loop iterations starting at
+    iteration `profile_start` (skipping compile + warmup). The reference
+    has no profiling at all (SURVEY §5); on TPU a trace is the tool that
+    attributes step time to MXU/HBM/infeed."""
     self.create_or_load_state()
     config = self.config
     ev_temp = misc.StepEvent(0, config.checkpoint_interval)
@@ -254,31 +264,58 @@ class TrainPipeline:
     ev_tb = misc.StepEvent(0, config.tensorboard_log_interval)
     limit = max_steps if max_steps is not None else config.max_steps
 
-    prev_step = int(self.state.global_step)
-    for step, metrics in self.train_steps():
-      if ev_tb.trigger(prev_step, step) and self.tb_writer:
-        loss = float(jax.device_get(metrics["loss"]))
-        self.tb_writer.add_scalar("loss", loss, step)
-        self.tb_writer.flush()
-        log.info("step %d loss %.5f", step, loss)
+    iteration = 0
+    profiling = False
 
-      if jax.process_index() == 0:
-        if ev_persistent.trigger(prev_step, step):
-          self.cpt_manager.save_state(self.state, self._extra_metadata(),
-                                      persistent=True)
-        elif ev_temp.trigger(prev_step, step):
-          self.cpt_manager.save_state(self.state, self._extra_metadata())
-
-      if recurrent_evals is not None:
-        recurrent_evals.run(self, prev_step, step)
-
-      prev_step = step
-      if 0 <= limit <= step:
-        if jax.process_index() == 0:
-          self.cpt_manager.save_state(self.state, self._extra_metadata(),
-                                      persistent=True)
-        log.info("Reached max_steps=%d; stopping", limit)
+    def maybe_profile():
+      nonlocal iteration, profiling
+      if profile_dir is None:
         return
+      if iteration == profile_start:
+        jax.block_until_ready(self.state.params)
+        jax.profiler.start_trace(profile_dir)
+        profiling = True
+        log.info("profiler: tracing %d steps to %s", profile_steps,
+                 profile_dir)
+      elif profiling and iteration == profile_start + profile_steps:
+        jax.block_until_ready(self.state.params)
+        jax.profiler.stop_trace()
+        profiling = False
+        log.info("profiler: trace written to %s", profile_dir)
+      iteration += 1
+
+    prev_step = int(self.state.global_step)
+    try:
+      for step, metrics in self.train_steps():
+        maybe_profile()
+        if ev_tb.trigger(prev_step, step) and self.tb_writer:
+          loss = float(jax.device_get(metrics["loss"]))
+          self.tb_writer.add_scalar("loss", loss, step)
+          self.tb_writer.flush()
+          log.info("step %d loss %.5f", step, loss)
+
+        if jax.process_index() == 0:
+          if ev_persistent.trigger(prev_step, step):
+            self.cpt_manager.save_state(self.state, self._extra_metadata(),
+                                        persistent=True)
+          elif ev_temp.trigger(prev_step, step):
+            self.cpt_manager.save_state(self.state, self._extra_metadata())
+
+        if recurrent_evals is not None:
+          recurrent_evals.run(self, prev_step, step)
+
+        prev_step = step
+        if 0 <= limit <= step:
+          if jax.process_index() == 0:
+            self.cpt_manager.save_state(self.state, self._extra_metadata(),
+                                        persistent=True)
+          log.info("Reached max_steps=%d; stopping", limit)
+          return
+    finally:
+      if profiling:
+        jax.profiler.stop_trace()
+        log.info("profiler: trace written to %s (run ended mid-window)",
+                 profile_dir)
 
 
 class RecurrentEvals:

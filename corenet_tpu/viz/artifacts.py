@@ -7,10 +7,12 @@ extra tetrahedron-vertex cameras framing the union box; and
 `visualize_artifacts` renders every artifact under the default + 4 extra
 cameras into one tiled image (cameras as rows, artifacts as columns).
 
-The reference's MarchingCubesArtifact (skimage marching cubes + GL render)
-is covered by `IsosurfaceArtifact`, which raycasts the thresholded
-occupancy field directly — same role (visualize the predicted surface),
-no mesh extraction step.
+The reference's MarchingCubesArtifact (skimage marching cubes + GL
+render, artifacts.py:199-289) is covered by `MeshSurfaceArtifact`:
+marching-tetrahedra mesh extraction (viz/isosurface.py) with the same
+optional box-filter smoothing, rendered by the software rasterizer.
+`IsosurfaceArtifact` (direct thresholded raycast, no mesh) remains as a
+cheaper alternative.
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 from corenet_tpu.viz import camera as camera_util
+from corenet_tpu.viz import isosurface
 from corenet_tpu.viz import renderer
 from corenet_tpu.viz.colors import DEFAULT_COLOR_PALETTE
 
@@ -109,6 +112,35 @@ class IsosurfaceArtifact(VoxelGridArtifact):
     labels = np.argmax(pmf[..., 1:], axis=-1).astype(np.int32) + 1
     grid = np.where(fg > threshold, labels, 0)
     super().__init__(grid, grid_to_world, palette)
+
+
+class MeshSurfaceArtifact(MultiMeshArtifact):
+  """Extracted isosurface meshes of a class PMF float[D, H, W, C] — the
+  reference's MarchingCubesArtifact (artifacts.py:199-289): per class
+  c ≥ 1 the 0.5 isosurface of the (optionally box-filtered) class
+  probability, as a marching-tetrahedra mesh transformed to world space
+  and rendered with the class palette color."""
+
+  def __init__(self, pmf: np.ndarray,
+               grid_to_world: Optional[np.ndarray] = None,
+               palette: np.ndarray = DEFAULT_COLOR_PALETTE,
+               filter_kernel: int = 1, level: float = 0.5):
+    pmf = np.asarray(pmf, np.float32)
+    num_classes = pmf.shape[-1]
+    m = (np.asarray(grid_to_world, np.float32)
+         if grid_to_world is not None else np.eye(4, dtype=np.float32))
+    meshes, labels = [], []
+    for c in range(1, num_classes):
+      vol = isosurface.box_filter3d(pmf[..., c], filter_kernel)
+      tris = isosurface.marching_tetrahedra(vol, level=level)
+      if not tris.size:
+        continue
+      # Lattice point (x, y, z) samples voxel [z, y, x] → its center
+      # (x+.5, y+.5, z+.5) in the grid frame of VoxelGridArtifact.
+      tris = (tris + 0.5) @ m[:3, :3].T + m[:3, 3]
+      meshes.append(tris.astype(np.float32))
+      labels.append(c)
+    super().__init__(meshes, labels, palette)
 
 
 class ImageArtifact(VisualizationArtifact):

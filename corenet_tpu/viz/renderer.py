@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from corenet_tpu.utils import misc
 from corenet_tpu.viz.colors import DEFAULT_COLOR_PALETTE
 
 _BG = jnp.asarray([1.0, 1.0, 1.0])  # white background
@@ -39,9 +38,12 @@ _AMBIENT = 0.36
 _DIFFUSE = 0.64
 
 
-@functools.partial(jax.jit, static_argnames=("image_size", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("image_size", "chunk", "textured"))
 def _render_mesh_impl(triangles, tri_colors, tri_valid, camera,
-                      image_size: Tuple[int, int], chunk: int):
+                      image_size: Tuple[int, int], chunk: int,
+                      textured: bool = False,
+                      tri_uvs=None, tri_tex=None, textures=None):
   h, w = image_size
   t_total = triangles.shape[0]
   num_chunks = t_total // chunk
@@ -54,6 +56,9 @@ def _render_mesh_impl(triangles, tri_colors, tri_valid, camera,
     tri = jax.lax.dynamic_slice_in_dim(triangles, i * chunk, chunk)
     col = jax.lax.dynamic_slice_in_dim(tri_colors, i * chunk, chunk)
     valid = jax.lax.dynamic_slice_in_dim(tri_valid, i * chunk, chunk)
+    if textured:
+      uvs = jax.lax.dynamic_slice_in_dim(tri_uvs, i * chunk, chunk)
+      tex = jax.lax.dynamic_slice_in_dim(tri_tex, i * chunk, chunk)
 
     # World-space normal for shading (double-sided).
     n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
@@ -100,8 +105,46 @@ def _render_mesh_impl(triangles, tri_colors, tri_valid, camera,
     eye_dir = camera[2, :3] / jnp.maximum(
         jnp.linalg.norm(camera[2, :3]), 1e-12)
     lum = _AMBIENT + _DIFFUSE * jnp.abs(n @ eye_dir)
-    shaded = jnp.clip(col * lum[:, None], 0.0, 1.0)  # [C, 3]
-    best_color = shaded[best]  # [H, W, 3]
+
+    base = col[best]  # [H, W, 3]
+    if textured:
+      # Perspective-correct UV at the winning triangle: interpolate
+      # (u/w, v/w, 1/w) with the screen-space barycentrics of `best`,
+      # then divide (the GL rasterizer's noperspective-free default).
+      def at_best(e):  # [C, H, W] -> [H, W]
+        return jnp.take_along_axis(e, best[None], axis=0)[0]
+      b0, b1, b2 = at_best(e0), at_best(e1), at_best(e2)
+      area_b = at_best(area)
+      inv_area_b = jnp.where(jnp.abs(area_b) > 1e-12, 1.0 / area_b, 0.0)
+      b0, b1, b2 = b0 * inv_area_b, b1 * inv_area_b, b2 * inv_area_b
+      uv_b = uvs[best]                     # [H, W, 3, 2]
+      w_b = jnp.maximum(ww[best], 1e-6)    # [H, W, 3]
+      inv_w = (b0 / w_b[..., 0] + b1 / w_b[..., 1] + b2 / w_b[..., 2])
+      num = (b0[..., None] * uv_b[..., 0, :] / w_b[..., 0, None] +
+             b1[..., None] * uv_b[..., 1, :] / w_b[..., 1, None] +
+             b2[..., None] * uv_b[..., 2, :] / w_b[..., 2, None])
+      uv = num / jnp.where(jnp.abs(inv_w[..., None]) > 1e-12,
+                           inv_w[..., None], 1.0)
+      # Bilinear sample from the (Y-flipped at load) texture array.
+      th, tw = textures.shape[1], textures.shape[2]
+      fx = uv[..., 0] * tw - 0.5
+      fy = uv[..., 1] * th - 0.5
+      x0 = jnp.floor(fx).astype(jnp.int32)
+      y0 = jnp.floor(fy).astype(jnp.int32)
+      ax = (fx - x0)[..., None]
+      ay = (fy - y0)[..., None]
+      layer = jnp.clip(tex[best], 0, textures.shape[0] - 1)
+
+      def fetch(yy, xx):
+        yy = jnp.clip(yy, 0, th - 1)
+        xx = jnp.clip(xx, 0, tw - 1)
+        return textures[layer, yy, xx].astype(jnp.float32) / 255.0
+
+      texel = ((1 - ay) * ((1 - ax) * fetch(y0, x0) + ax * fetch(y0, x0 + 1))
+               + ay * ((1 - ax) * fetch(y0 + 1, x0)
+                       + ax * fetch(y0 + 1, x0 + 1)))
+      base = jnp.where((tex[best] >= 0)[..., None], texel, base)
+    best_color = jnp.clip(base * lum[best][..., None], 0.0, 1.0)
 
     closer = best_z < zbuf
     zbuf = jnp.where(closer, best_z, zbuf)
@@ -119,30 +162,57 @@ def render_mesh(triangles: np.ndarray,
                 tri_colors: np.ndarray,
                 camera: np.ndarray,
                 image_size: Tuple[int, int] = (256, 256),
-                chunk: int = 512) -> np.ndarray:
-  """Renders triangles with per-triangle colors.
+                chunk: int = 512,
+                tri_uvs: Optional[np.ndarray] = None,
+                tri_tex: Optional[np.ndarray] = None,
+                textures: Optional[np.ndarray] = None) -> np.ndarray:
+  """Renders triangles with per-triangle colors and optional textures.
 
   Args:
     triangles: float32[T, 3, 3] world-space vertices.
     tri_colors: float32[T, 3] RGB in [0, 1].
     camera: float32[4, 4] world→clip.
+    tri_uvs: optional float32[T, 3, 2] per-vertex texcoords.
+    tri_tex: optional int32[T] texture layer per triangle; -1 = use
+      tri_colors (the reference's untextured-material path,
+      point_light_illumination.frag:47-70).
+    textures: optional uint8[K, TH, TW, 3] texture array (Y-flipped at
+      load — see scene_renderer.load_textures).
   Returns: uint8[H, W, 3].
   """
   t = triangles.shape[0]
   if t == 0:
     return np.full(image_size + (3,), 255, np.uint8)
-  chunk = min(chunk, misc.round_up(t, 8))
-  pad = misc.round_up(t, chunk) - t
+  # Pad the triangle count to a power of two: extracted meshes have a
+  # different count per scene, and exact-shape padding would recompile
+  # the rasterizer for every render — buckets bound the distinct
+  # compiled shapes to log2(max_triangles).
+  bucket = 1 << max(t - 1, 7).bit_length()
+  chunk = min(chunk, bucket)
+  pad = bucket - t
   triangles = np.concatenate(
       [np.asarray(triangles, np.float32),
        np.zeros((pad, 3, 3), np.float32)], 0)
   tri_colors = np.concatenate(
       [np.asarray(tri_colors, np.float32), np.zeros((pad, 3), np.float32)], 0)
   tri_valid = np.arange(t + pad) < t
+  textured = textures is not None and tri_uvs is not None
+  kwargs = {}
+  if textured:
+    tri_uvs = np.concatenate(
+        [np.asarray(tri_uvs, np.float32),
+         np.zeros((pad, 3, 2), np.float32)], 0)
+    if tri_tex is None:
+      tri_tex = np.zeros((t,), np.int32)
+    tri_tex = np.concatenate(
+        [np.asarray(tri_tex, np.int32), np.full((pad,), -1, np.int32)], 0)
+    kwargs = dict(tri_uvs=jnp.asarray(tri_uvs),
+                  tri_tex=jnp.asarray(tri_tex),
+                  textures=jnp.asarray(np.asarray(textures, np.uint8)))
   return np.asarray(_render_mesh_impl(
       jnp.asarray(triangles), jnp.asarray(tri_colors),
       jnp.asarray(tri_valid), jnp.asarray(camera, jnp.float32),
-      tuple(image_size), int(chunk)))
+      tuple(image_size), int(chunk), textured=textured, **kwargs))
 
 
 @functools.partial(jax.jit, static_argnames=("image_size",))

@@ -101,6 +101,32 @@ def test_pipeline_wires_mesh_into_step(tmp_path, monkeypatch):
   assert captured.get("mesh") is mesh
 
 
+def test_loader_process_workers_match_threads(tmp_path):
+  """Process decode workers (spawn, GIL-free — the reference's fork-worker
+  analogue, pipeline.py:102-123) produce byte-identical batches to thread
+  workers."""
+  from corenet_tpu.data.dataset import CoreNetDatasetImpl
+  from corenet_tpu.data.loader import DataLoader
+  manifest, meshes_dir = make_fixture_dataset(str(tmp_path / "ds"),
+                                              num_scenes=4)
+  ds = CoreNetDatasetImpl(manifest, meshes_dir)
+
+  def batches(worker_processes):
+    loader = DataLoader(ds, batch_size=2, num_workers=2, prefetch_factor=1,
+                        worker_processes=worker_processes)
+    return list(loader)
+
+  got_p = batches(True)
+  got_t = batches(False)
+  assert len(got_p) == len(got_t) == 2
+  for (hp, vp), (ht, vt) in zip(got_p, got_t):
+    assert hp.scene_ids == ht.scene_ids
+    np.testing.assert_array_equal(hp.image, ht.image)
+    np.testing.assert_array_equal(hp.triangles, ht.triangles)
+    np.testing.assert_array_equal(hp.mesh_labels, ht.mesh_labels)
+    np.testing.assert_array_equal(vp, vt)
+
+
 def test_loader_abandoned_epoch_releases_producer(tmp_path):
   from corenet_tpu.data.dataset import CoreNetDatasetImpl
   from corenet_tpu.data.loader import DataLoader

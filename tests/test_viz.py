@@ -89,6 +89,31 @@ def test_isosurface_artifact():
   assert (img != 255).any()
 
 
+def test_mesh_surface_artifact():
+  """Marching-tetrahedra surface artifact (the reference's
+  MarchingCubesArtifact role): extracts one mesh per class, colored and
+  renderable."""
+  pmf = np.zeros((8, 8, 8, 3), np.float32)
+  pmf[..., 0] = 1.0
+  pmf[2:6, 2:6, 2:6, 0] = 0.1
+  pmf[2:6, 2:6, 2:6, 2] = 0.9  # class 2 foreground blob
+  a = art.MeshSurfaceArtifact(pmf)
+  assert len(a.meshes) == 1 and a.mesh_labels == [2]
+  assert a.meshes[0].shape[0] > 10
+  # The extracted surface sits around the blob (voxel centers 2.5-5.5).
+  lo, hi = a.get_3d_box()
+  assert np.all(lo > 1.0) and np.all(hi < 7.0)
+  img = a.render(camera_util.default_camera(lo, hi), (48, 48))
+  assert (img != 255).any()
+  # With a transform the surface follows it.
+  g2w = np.eye(4, dtype=np.float32)
+  g2w[:3, :3] /= 8.0
+  b = art.MeshSurfaceArtifact(pmf, grid_to_world=g2w)
+  lo_b, hi_b = b.get_3d_box()
+  tt.assert_allclose(lo_b, lo / 8.0, rtol=1e-5)
+  tt.assert_allclose(hi_b, hi / 8.0, rtol=1e-5)
+
+
 def test_qualitative_scene_tile(tmp_path):
   from corenet_tpu.eval.qualitative import QualitativeResults
   pmf = np.zeros((8, 8, 8, 2), np.float32)
@@ -138,6 +163,90 @@ def test_voxel_render_matches_golden():
   golden = np.asarray(PIL.Image.open(
       os.path.join(golden_dir, "expected_image_voxels.png")))
   assert _l1(img, golden) < 1.0
+
+
+def _png(img: np.ndarray) -> bytes:
+  import io
+  import PIL.Image
+  buf = io.BytesIO()
+  PIL.Image.fromarray(img).save(buf, format="PNG")
+  return buf.getvalue()
+
+
+def test_load_textures_dedup_and_flip():
+  """Contract of the reference's load_textures
+  (scene_renderer.py:34-82): dedup identical byte strings, empty → -1,
+  resize to texture_size, Y flip."""
+  from corenet_tpu.viz.scene_renderer import load_textures
+  a = np.zeros((4, 4, 3), np.uint8)
+  a[0] = [255, 0, 0]  # top row red
+  b = np.full((8, 8, 3), 64, np.uint8)
+  pa, pb = _png(a), _png(b)
+  tex, idx = load_textures([pa, b"", pb, pa], texture_size=(4, 4))
+  tt.assert_array_equal(idx, [0, -1, 1, 0])
+  assert tex.shape == (2, 4, 4, 3)
+  # Y flip: the red top row of `a` lands at the bottom of layer 0.
+  assert tex[0, 3, 0, 0] > 200 and tex[0, 0, 0, 0] < 50
+  assert np.all(tex[1] == 64)
+
+
+def test_render_mesh_texture_sampling():
+  """A screen-filling quad textured left-red/right-green samples the
+  texture (bilinear, perspective-correct); untextured triangles keep
+  their color."""
+  tex = np.zeros((1, 8, 8, 3), np.uint8)
+  tex[:, :, :4, 0] = 255  # left half red
+  tex[:, :, 4:, 1] = 255  # right half green
+  v = {"bl": [-1, -1, 0], "br": [1, -1, 0], "tr": [1, 1, 0], "tl": [-1, 1, 0]}
+  uv = {"bl": [0, 0], "br": [1, 0], "tr": [1, 1], "tl": [0, 1]}
+  tris = np.array([[v["bl"], v["br"], v["tr"]],
+                   [v["bl"], v["tr"], v["tl"]]], np.float32)
+  uvs = np.array([[uv["bl"], uv["br"], uv["tr"]],
+                  [uv["bl"], uv["tr"], uv["tl"]]], np.float32)
+  cam = np.eye(4, dtype=np.float32)  # world == clip; lum == 1
+  img = renderer.render_mesh(
+      tris, np.full((2, 3), 0.5, np.float32), cam, (32, 32),
+      tri_uvs=uvs, tri_tex=np.zeros((2,), np.int32), textures=tex)
+  assert img[16, 4, 0] > 200 and img[16, 4, 1] < 50   # left: red
+  assert img[16, 28, 1] > 200 and img[16, 28, 0] < 50  # right: green
+
+  # tri_tex = -1 → flat color path.
+  img2 = renderer.render_mesh(
+      tris, np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (2, 1)),
+      cam, (32, 32), tri_uvs=uvs, tri_tex=np.full((2,), -1, np.int32),
+      textures=tex)
+  assert img2[16, 4, 2] > 200 and img2[16, 28, 2] > 200
+
+
+def test_render_scene_samples_textures(tmp_path):
+  """A scene whose mesh carries texcoords + a diffuse texture renders
+  with sampled texture colors."""
+  from corenet_tpu.data import scene as scene_lib
+  from corenet_tpu.viz.scene_renderer import render_scene
+
+  quad = np.array([[[0, 0, 0.5], [1, 0, 0.5], [1, 1, 0.5]],
+                   [[0, 0, 0.5], [1, 1, 0.5], [0, 1, 0.5]]], np.float32)
+  uvs = np.array([[[0, 0], [1, 0], [1, 1]],
+                  [[0, 0], [1, 1], [0, 1]]], np.float32)
+  solid = np.full((8, 8, 3), 0, np.uint8)
+  solid[..., 0] = 255  # red texture
+  sc = scene_lib.Scene(
+      mesh_vertices=[quad],
+      view_transform=np.eye(4, dtype=np.float32),
+      o2w_transforms=np.eye(4, dtype=np.float32)[None],
+      camera_transform=np.array([[2, 0, 0, -1], [0, 2, 0, -1],
+                                 [0, 0, 2, -1], [0, 0, 0, 1]], np.float32),
+      mesh_labels=["x"],
+      mesh_visible_fractions=np.ones([1], np.float32),
+      opengl_image=np.zeros((4, 4, 3), np.uint8),
+      pbrt_image=np.zeros((4, 4, 3), np.uint8),
+      texcoords=[uvs],
+      material_ids=[np.zeros((2,), np.int32)],
+      diffuse_colors=[np.array([[0, 0, 1]], np.float32)],  # blue fallback
+      diffuse_texture_pngs=[[_png(solid)]])
+  img = render_scene(sc, image_size=(32, 32))
+  mid = img[16, 16]
+  assert mid[0] > 150 and mid[2] < 80, mid  # textured red, not blue
 
 
 def test_render_scene_with_materials(tmp_path):
