@@ -22,9 +22,21 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from corenet_tpu.models import layers
+from corenet_tpu.ops import skip_gather as skip_gather_op
+
+# Minimum gathered-voxel count for the Pallas kernel; below this the XLA
+# gather is negligible and not worth a kernel launch. None = auto.
+_PALLAS_MIN_N = 32768
+
+
+def _use_pallas(n: int, use_pallas: bool | None) -> bool:
+  if use_pallas is not None:
+    return use_pallas
+  return jax.default_backend() == "tpu" and n >= _PALLAS_MIN_N
 
 
 def sample_grid2d(grid2d: jnp.ndarray,
@@ -34,7 +46,8 @@ def sample_grid2d(grid2d: jnp.ndarray,
                   outside_value: float = 0.0,
                   flip_x: bool = False,
                   flip_y: bool = False,
-                  packed: bool = False) -> jnp.ndarray:
+                  packed: bool = False,
+                  use_pallas: bool | None = None) -> jnp.ndarray:
   """Samples a 2D grid at the projected centers of a 3D voxel grid.
 
   Args:
@@ -85,17 +98,31 @@ def sample_grid2d(grid2d: jnp.ndarray,
 
   padded = jnp.pad(grid2d, ((0, 0), (1, 1), (1, 1), (0, 0)),
                    constant_values=outside_value)
-  flat = padded.reshape(b, (h + 2) * (w + 2), c)
-  idx = (py * (w + 2) + px).reshape(b, -1)
-  gathered = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
   behind = camera_depth < 0
+  n = px.size // b
+  if _use_pallas(n, use_pallas):
+    # Behind-camera voxels read pixel (0, 0) — a pad-ring cell holding
+    # outside_value — so no post-gather select is needed, and their
+    # gradient lands in the pad ring, which the pad adjoint discards.
+    pxf = jnp.where(behind, 0, px).reshape(b, -1)
+    pyf = jnp.where(behind, 0, py).reshape(b, -1)
+    gathered = skip_gather_op.skip_gather(padded, pxf, pyf)
+    behind = None
+  else:
+    flat = padded.reshape(b, (h + 2) * (w + 2), c)
+    idx = (py * (w + 2) + px).reshape(b, -1)
+    gathered = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
   if packed:
     gathered = gathered.reshape(b, gd // 2, gh // 2, gw // 2, 8 * c)
+    if behind is None:
+      return gathered
     behind = behind.reshape(b, gd // 2, gh // 2, gw // 2, 8)
     behind = jnp.repeat(behind, c, axis=-1)
     return jnp.where(behind, jnp.asarray(outside_value, gathered.dtype),
                      gathered)
   gathered = gathered.reshape(b, gd, gh, gw, c)
+  if behind is None:
+    return gathered
   return jnp.where(behind[..., None],
                    jnp.asarray(outside_value, gathered.dtype), gathered)
 

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 DB = 8  # voxel block extent per axis
 
 
-def _kernel(origin_ref, pw_ref, out_ref, *, h, w, nw):
+def _kernel(origin_ref, pw_ref, out_ref, acc_ref, *, h, w, nw):
   lanes = w * nw
   chunk = origin_ref.shape[0]
 
@@ -44,41 +44,65 @@ def _kernel(origin_ref, pw_ref, out_ref, *, h, w, nw):
   row8 = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
   cell8 = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 1) // nw
 
-  def body(t, _):
+  def flush(o):
+    """Place the accumulated run block at origin o and OR it into out."""
+    ox = o % w
+    oy = (o // w) % h
+    slot = o // (w * h)
+    oy_al = (oy // 8) * 8
+    ry = oy - oy_al
+    pw_t = pltpu.repeat(acc_ref[:], lanes // (DB * nw), axis=1)  # [8, lanes]
+    pw_placed = pltpu.roll(pltpu.roll(pw_t, ox * nw, 1), ry, 0)
+    lmask = (cell8 >= ox) & (cell8 < ox + DB)
+
+    @pl.when(ry == 0)
+    def _():
+      blk = jnp.where(lmask, pw_placed, 0)
+      cur = out_ref[0, slot, pl.ds(oy_al, 8), :]
+      out_ref[0, slot, pl.ds(oy_al, 8), :] = cur | blk
+
+    @pl.when(ry > 0)
+    def _():
+      # Straddles two 8-row tiles; the wrapped sublane roll has already
+      # put the tail rows at the top.
+      blk_lo = jnp.where(lmask & (row8 >= ry), pw_placed, 0)
+      cur = out_ref[0, slot, pl.ds(oy_al, 8), :]
+      out_ref[0, slot, pl.ds(oy_al, 8), :] = cur | blk_lo
+      blk_hi = jnp.where(lmask & (row8 < ry), pw_placed, 0)
+      cur2 = out_ref[0, slot, pl.ds(oy_al + 8, 8), :]
+      out_ref[0, slot, pl.ds(oy_al + 8, 8), :] = cur2 | blk_hi
+
+  # Triangles arrive Morton-ordered (data/batching.py), so same-origin
+  # blocks form runs. Accumulate each run in VMEM with cheap ORs and pay
+  # the expensive place-and-RMW once per distinct origin — this subsumes
+  # the former XLA-side log-doubling duplicate merge (~21 ms/step) at
+  # zero extra passes over the data. Runs split across chunk boundaries
+  # flush twice; the OR-scatter is idempotent so that stays correct.
+  def body(t, prev):
     o = origin_ref[t]
+
+    @pl.when((prev >= 0) & (o != prev))
+    def _():
+      flush(prev)
 
     @pl.when(o >= 0)
     def _():
-      ox = o % w
-      oy = (o // w) % h
-      slot = o // (w * h)
-      oy_al = (oy // 8) * 8
-      ry = oy - oy_al
-      pw = pw_ref[0, t]  # [8, 8*NW]
-      pw_t = pltpu.repeat(pw, lanes // (DB * nw), axis=1)  # [8, lanes]
-      pw_placed = pltpu.roll(pltpu.roll(pw_t, ox * nw, 1), ry, 0)
-      lmask = (cell8 >= ox) & (cell8 < ox + DB)
 
-      @pl.when(ry == 0)
+      @pl.when(o == prev)
       def _():
-        blk = jnp.where(lmask, pw_placed, 0)
-        cur = out_ref[0, slot, pl.ds(oy_al, 8), :]
-        out_ref[0, slot, pl.ds(oy_al, 8), :] = cur | blk
+        acc_ref[:] |= pw_ref[0, t]
 
-      @pl.when(ry > 0)
+      @pl.when(o != prev)
       def _():
-        # Straddles two 8-row tiles; the wrapped sublane roll has already
-        # put the tail rows at the top.
-        blk_lo = jnp.where(lmask & (row8 >= ry), pw_placed, 0)
-        cur = out_ref[0, slot, pl.ds(oy_al, 8), :]
-        out_ref[0, slot, pl.ds(oy_al, 8), :] = cur | blk_lo
-        blk_hi = jnp.where(lmask & (row8 < ry), pw_placed, 0)
-        cur2 = out_ref[0, slot, pl.ds(oy_al + 8, 8), :]
-        out_ref[0, slot, pl.ds(oy_al + 8, 8), :] = cur2 | blk_hi
+        acc_ref[:] = pw_ref[0, t]
 
-    return 0
+    return jnp.where(o >= 0, o, jnp.int32(-1))
 
-  jax.lax.fori_loop(0, chunk, body, 0)
+  last = jax.lax.fori_loop(0, chunk, body, jnp.int32(-1))
+
+  @pl.when(last >= 0)
+  def _():
+    flush(last)
 
 
 @functools.partial(jax.jit, static_argnames=("meshes", "h", "w", "nw",
@@ -119,5 +143,6 @@ def block_scatter_or(origins: jnp.ndarray,  # int32[B, T]
                              lambda i, c: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((b, meshes, h, w * nw), jnp.uint32),
+      scratch_shapes=[pltpu.VMEM((DB, DB * nw), jnp.uint32)],
       interpret=interpret,
   )(origins.reshape(-1), pw)

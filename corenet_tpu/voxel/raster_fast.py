@@ -287,7 +287,7 @@ def voxelize_blocked_packed(
     image_resolution_multiplier: int = 8,
     conservative_rasterization: bool = False,
     fill_inside: bool = True,
-    merge_duplicates: bool = True,
+    merge_duplicates: bool = False,
 ) -> jnp.ndarray:
   """Batched blocked voxelization. Returns packed u32[B, M, H, W, NW]."""
   d, h, w = resolution
@@ -302,12 +302,12 @@ def voxelize_blocked_packed(
           triangles, tri_mesh_slot, view2voxel, tri_valid)
 
   if merge_duplicates:
-    # Fuse runs of consecutive equal-origin blocks (triangles arrive in
-    # Morton order from data/batching.py, so same-block triangles are
-    # mostly adjacent) and mark all but the last entry of each run as
-    # skips — the scatter kernel pays ~10 cycles for a skip vs ~250 for a
-    # full block RMW. Merging is purely an optimization: the OR-scatter
-    # is idempotent, so any unmerged duplicates remain correct.
+    # XLA-side duplicate-run merge. OFF by default: the scatter kernel
+    # now accumulates equal-origin runs in VMEM itself (ops/
+    # block_scatter.py), which subsumes this phase at zero extra passes
+    # — the log-doubling below cost ~21 ms/step at 12k tris (profiled).
+    # Kept for A/B comparison; correct in combination with the kernel
+    # merge (the OR-scatter is idempotent).
     # Segmented gated OR via manual log-doubling — lax.associative_scan
     # lowers poorly on TPU (measured ~12x slower than these shifts).
     t = origins.shape[1]
