@@ -61,6 +61,14 @@ def iou_fgbg(gt_volume: jnp.ndarray, logits: jnp.ndarray,
     # 8M voxels/step): softmax₁ of two logits ≡ sigmoid of their
     # difference, and the one-hot/collapse/clamp pipeline reduces to an
     # equality test. Mathematically identical to the general path.
+    from corenet_tpu.ops import fgbg_loss
+    if fgbg_loss.use_fgbg_kernel(logits, weights):
+      # One fused streaming pass instead of materialized f32 sigmoid/
+      # min/max tensors + separate reduce fusions (~21 ms/step at 128³).
+      diff = logits[..., 1] - logits[..., 0]
+      intersection, union = fgbg_loss.fgbg_sums(diff, gt_volume)
+      iou = intersection / jnp.where(union == 0, 1.0, union)
+      return 1.0 - iou.mean()
     pred = jax.nn.sigmoid(logits[..., 1] - logits[..., 0])
     gt = (gt_volume == 1).astype(jnp.float32)
   else:

@@ -1,0 +1,113 @@
+"""Pallas TPU kernel for the FG_BG soft-IoU loss sums.
+
+The binary iou_fgbg loss (models/losses.py; reference losses.py:64-114)
+needs only two per-scene scalars from the 128^3 = 2M-voxel grids:
+
+  inter[b] = sum_{gt=1} sigmoid(diff)          (min(gt, pred) sum)
+  union[b] = sum_{gt=1} 1 + sum_{gt=0} sigmoid(diff)   (max sum)
+
+with diff = logits[..., 1] - logits[..., 0]. XLA's lowering materializes
+the f32 sigmoid/min/max tensors at 128^3 and reduces them in separate
+fusions — ~21 ms/step profiled. This kernel streams bf16 diff + int gt
+once, accumulating per-lane f32 partials in a revisited output block;
+the full-grid iou math then runs on [B]-sized vectors.
+
+The backward needs no kernel at all: d diff = s'(diff) * (gt ? d_inter
+: d_union) is a single elementwise XLA pass (custom VJP below).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+MAX_TILE = 2048  # rows of 128 lanes per step (512 KB bf16 + 1 MB int32)
+
+
+def _sums_kernel(diff_ref, gt_ref, out_ref):
+  tile = diff_ref.shape[1]
+
+  @pl.when(pl.program_id(1) == 0)
+  def _():
+    out_ref[0] = jnp.zeros_like(out_ref[0])
+
+  pred = jax.nn.sigmoid(diff_ref[0].astype(jnp.float32))
+  fg = gt_ref[0] == 1
+  inter = jnp.where(fg, pred, 0.0)
+  union = jnp.where(fg, 1.0, pred)
+  inter8 = inter.reshape(tile // 8, 8, 128).sum(axis=0)
+  union8 = union.reshape(tile // 8, 8, 128).sum(axis=0)
+  out_ref[0, :, 0:128] += inter8
+  out_ref[0, :, 128:256] += union8
+
+
+@functools.lru_cache(maxsize=None)
+def _make(b, rows, tile, interpret):
+  nb = rows // tile
+  return pl.pallas_call(
+      _sums_kernel,
+      grid=(b, nb),
+      in_specs=[
+          pl.BlockSpec((1, tile, 128), lambda i, j: (i, j, 0)),
+          pl.BlockSpec((1, tile, 128), lambda i, j: (i, j, 0)),
+      ],
+      out_specs=pl.BlockSpec((1, 8, 256), lambda i, j: (i, 0, 0)),
+      out_shape=jax.ShapeDtypeStruct((b, 8, 256), jnp.float32),
+      interpret=interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fn(b, n, dt_name, gt_name, interpret):
+  """Returns the custom-vjp (diff, gt) -> (inter[b], union[b]) fn."""
+  rows = n // 128
+  tile = next(t for t in range(min(MAX_TILE, rows), 0, -8)
+              if rows % t == 0)
+  call = _make(b, rows, tile, interpret)
+
+  @jax.custom_vjp
+  def sums(diff, gt):
+    part = call(diff.reshape(b, rows, 128), gt.reshape(b, rows, 128))
+    inter = part[:, :, 0:128].sum(axis=(1, 2))
+    union = part[:, :, 128:256].sum(axis=(1, 2))
+    return inter, union
+
+  def fwd(diff, gt):
+    return sums(diff, gt), (diff, gt)
+
+  def bwd(res, ct):
+    diff, gt = res
+    d_inter, d_union = ct
+    shape = (b,) + (1,) * (diff.ndim - 1)
+    s = jax.nn.sigmoid(diff.astype(jnp.float32))
+    sel = jnp.where(gt == 1, d_inter.reshape(shape), d_union.reshape(shape))
+    ddiff = (sel * s * (1.0 - s)).astype(diff.dtype)
+    return ddiff, None
+
+  sums.defvjp(fwd, bwd)
+  return sums
+
+
+def fgbg_sums(diff: jnp.ndarray,   # float[B, ...] logit differences
+              gt: jnp.ndarray,     # int[B, ...] labels (1 = foreground)
+              interpret: bool | None = None):
+  """Per-scene (intersection, union) soft-IoU sums; differentiable in
+  diff. Requires the per-scene element count to be a multiple of
+  TILE*128 (true for 32^3+ grids)."""
+  b = diff.shape[0]
+  n = diff.size // b
+  assert n % (8 * 128) == 0, n
+  if interpret is None:
+    interpret = jax.default_backend() != "tpu"
+  fn = _make_fn(b, n, diff.dtype.name, gt.dtype.name, bool(interpret))
+  return fn(diff, gt)
+
+
+def use_fgbg_kernel(logits: jnp.ndarray, weights) -> bool:
+  b = logits.shape[0]
+  n = logits.size // b // logits.shape[-1]
+  return (weights is None and logits.shape[-1] == 2
+          and n % (8 * 128) == 0
+          and jax.default_backend() == "tpu")
