@@ -90,7 +90,8 @@ def run_variant(*, gt, tris, batch, image_size, windows, steps, warmup,
   resolution = (128, 128, 128)
   model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
       resolution=resolution, num_output_channels=2)),
-      compute_dtype=jnp.bfloat16, packed_decoder=packed)
+      compute_dtype=jnp.bfloat16, packed_decoder=packed,
+      phase_output=packed)
   optimizer = state_lib.create_optimizer()
   mesh = mesh_lib.create_mesh()
 

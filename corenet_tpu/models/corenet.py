@@ -43,6 +43,9 @@ class CoreNet(nn.Module):
   # Space-to-depth decoder execution (models/packing.py): same parameters
   # and math, substantially better MXU utilization on TPU.
   packed_decoder: bool = False
+  # With packed_decoder: emit phase-packed logits (see
+  # ReconstructionDecoder.phase_output) for the training-loss fast path.
+  phase_output: bool = False
 
   @nn.compact
   def __call__(self, image: jnp.ndarray,
@@ -72,5 +75,6 @@ class CoreNet(nn.Module):
         skip_fraction=dc.skip_fraction,
         compute_dtype=self.compute_dtype,
         packed=self.packed_decoder,
+        phase_output=self.phase_output,
         name="decoder")(features, voxel_projection_matrix,
                         voxel_sample_locations, train)

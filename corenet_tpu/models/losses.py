@@ -65,7 +65,11 @@ def iou_fgbg(gt_volume: jnp.ndarray, logits: jnp.ndarray,
     if fgbg_loss.use_fgbg_kernel(logits, weights):
       # One fused streaming pass instead of materialized f32 sigmoid/
       # min/max tensors + separate reduce fusions (~21 ms/step at 128³).
-      diff = logits[..., 1] - logits[..., 0]
+      # Subtract in f32: exact for f32 logits (no-op converts) AND for
+      # bf16 logits from the phase-packed path (bf16 values are exactly
+      # representable, so this equals upcasting the logits first).
+      diff = (logits[..., 1].astype(jnp.float32)
+              - logits[..., 0].astype(jnp.float32))
       intersection, union = fgbg_loss.fgbg_sums(diff, gt_volume)
       iou = intersection / jnp.where(union == 0, 1.0, union)
       return 1.0 - iou.mean()

@@ -87,6 +87,17 @@ def make_train_step(model,
     from jax.sharding import NamedSharding, PartitionSpec
     space_sharding = NamedSharding(mesh, PartitionSpec("data", "space"))
 
+  phase_loss = bool(getattr(model, "packed_decoder", False)
+                    and getattr(model, "phase_output", False))
+  if phase_loss:
+    # The phased-GT permutation below assumes an unsharded grid and the
+    # binary FG_BG loss contract (C voxel values preserved by any
+    # order-preserving view; other task types work too, but only FG_BG
+    # has been wired/benched).
+    assert space_sharding is None, (
+        "phase_output training is single-shard only; disable packed "
+        "phase output under a 'space'-sharded mesh")
+
   def constrain(x):
     if space_sharding is None:
       return x
@@ -117,6 +128,19 @@ def make_train_step(model,
       if space_sharding is not None:
         logits = jax.lax.with_sharding_constraint(
             logits, space_sharding)
+      if phase_loss:
+        # Phase-packed logits [B, D/2, H/2, W/2, 8*C] (phase-major
+        # (pz,py,px,c)): the loss is voxel-order invariant, so pair a
+        # phased VIEW of the logits (free, row-major reshape) with a
+        # phased copy of the GT grid instead of depth_to_space-ing 128³
+        # logits. One int transpose of the GT replaces two bf16/f32
+        # reshuffles plus an f32 convert of the full-resolution logits.
+        b, d2, h2, w2, pc = logits.shape
+        c = pc // 8
+        gp = grid.reshape(b, d2, 2, h2, 2, w2, 2)
+        gp = jnp.transpose(gp, (0, 1, 3, 5, 2, 4, 6))
+        gp = gp.reshape(b, d2, h2, w2 * 8)
+        return loss_fn(gp, logits.reshape(b, d2, h2, w2 * 8, c)), updates
       return loss_fn(grid, logits), updates
 
     (loss, updates), grads = jax.value_and_grad(

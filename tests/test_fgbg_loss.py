@@ -65,3 +65,28 @@ def test_bf16_diff_supported():
   tt.assert_allclose(np.asarray(union),
                      np.asarray(jnp.where(fg, 1.0, pred).sum((1, 2, 3))),
                      rtol=1e-4)
+
+
+def test_phase_packed_view_equals_fine_loss():
+  """The phase-output training path (train/step.py) pairs a phased view
+  of the logits with a phased GT permutation; the loss must equal the
+  fine-grid loss exactly (same (gt, pred) multiset)."""
+  rng = np.random.default_rng(9)
+  b, d, h, w = 2, 8, 8, 8
+  gt = jnp.asarray(rng.integers(0, 2, (b, d, h, w)), jnp.int32)
+  logits = jnp.asarray(rng.standard_normal((b, d, h, w, 2)) * 2,
+                       jnp.float32)
+  ref = losses.iou_fgbg(gt, logits)
+
+  # Build the phase-packed logits the packed decoder would emit:
+  # packed[z,y,x, ((pz*2+py)*2+px)*C + c] = fine[2z+pz, 2y+py, 2x+px, c].
+  d2, h2, w2 = d // 2, h // 2, w // 2
+  lp = logits.reshape(b, d2, 2, h2, 2, w2, 2, 2)
+  lp = jnp.transpose(lp, (0, 1, 3, 5, 2, 4, 6, 7))
+  lp = lp.reshape(b, d2, h2, w2, 16)
+
+  # The step's pairing: phased GT copy + row-major logits view.
+  gp = gt.reshape(b, d2, 2, h2, 2, w2, 2)
+  gp = jnp.transpose(gp, (0, 1, 3, 5, 2, 4, 6)).reshape(b, d2, h2, w2 * 8)
+  got = losses.iou_fgbg(gp, lp.reshape(b, d2, h2, w2 * 8, 2))
+  tt.assert_allclose(float(got), float(ref), rtol=1e-6)
