@@ -74,7 +74,7 @@ def _scene_inputs(batch, image_size, resolution, num_tri, num_mesh,
 
 
 def run_variant(*, gt, tris, batch, image_size, windows, steps, warmup,
-                profile_dir=None, packed=False):
+                profile_dir=None, packed=False, phase=False):
   import os
   import jax
   jax.config.update("jax_compilation_cache_dir",
@@ -91,7 +91,7 @@ def run_variant(*, gt, tris, batch, image_size, windows, steps, warmup,
   model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
       resolution=resolution, num_output_channels=2)),
       compute_dtype=jnp.bfloat16, packed_decoder=packed,
-      phase_output=packed)
+      phase_output=packed or phase)
   optimizer = state_lib.create_optimizer()
   mesh = mesh_lib.create_mesh()
 
@@ -188,6 +188,9 @@ def main():
   p.add_argument("--profile", type=str, default=None)
   p.add_argument("--packed", action="store_true",
                  help="space-to-depth packed decoder execution")
+  p.add_argument("--phase", action="store_true",
+                 help="phase-major final logits for the loss (skips the "
+                      "128^3 interleave; also implied by --packed)")
   p.add_argument("--suite", action="store_true",
                  help="run the diagnostic variant suite (results on stderr)"
                       " before the headline measurement")
@@ -205,7 +208,8 @@ def main():
   value = run_variant(gt=args.gt, tris=args.tris, batch=args.batch,
                       image_size=args.image_size, windows=args.windows,
                       steps=args.steps, warmup=args.warmup,
-                      profile_dir=args.profile, packed=args.packed)
+                      profile_dir=args.profile, packed=args.packed,
+                      phase=args.phase)
   print(json.dumps({
       "metric": "train_scenes_per_sec_per_chip_128cubed",
       "value": round(value, 3),

@@ -127,7 +127,8 @@ class ReconstructionDecoder(nn.Module):
 
     phase = 8 if packed else 1
 
-    def tower(x, name, conv_c, conv_k, t_out, t_k, t_stride, t_pad, t_op):
+    def tower(x, name, conv_c, conv_k, t_out, t_k, t_stride, t_pad, t_op,
+              t_phase=False):
       x = nn.relu(x)
       x = _bn(name=f"{name}_bn1", phase_packing=phase)(x, train)
       x = layers.Conv(conv_c, conv_k, ndim=3, padding=conv_k // 2,
@@ -138,7 +139,7 @@ class ReconstructionDecoder(nn.Module):
       x = layers.ConvTranspose(t_out, t_k, ndim=3, stride=t_stride,
                                padding=t_pad, output_padding=t_op,
                                compute_dtype=self.compute_dtype,
-                               packed_io=packed,
+                               packed_io=packed, phase_output=t_phase,
                                name=f"{name}_t")(x)
       return x
 
@@ -150,10 +151,17 @@ class ReconstructionDecoder(nn.Module):
     x = apply_skip(x, imf.stage3_512, 4)
     x = tower(x, "stage_5", 32, 5, 16, 7, 2, 3, 1)
     x = apply_skip(x, imf.stage2_256, 5)
+    fine_phase = (self.phase_output and not packed
+                  and self.last_upscale_factor == 2)
     x = tower(x, "stage_6", 16, 5, self.num_output_channels, 7,
-              self.last_upscale_factor, 3, 1)
+              self.last_upscale_factor, 3, 1, t_phase=fine_phase)
     if packed:
       if self.phase_output:
         return x
       x = packing.depth_to_space(x, self.num_output_channels)
+    elif fine_phase:
+      # Same phase-major [B, D/2, H/2, W/2, 8*C] contract as the packed
+      # phase_output: the final interleave to 128^3 (and its transposes)
+      # is skipped; the training loss consumes this directly.
+      return x
     return x.astype(jnp.float32)

@@ -141,6 +141,12 @@ class ConvTranspose(nn.Module):
   compute_dtype: Any = None  # e.g. jnp.bfloat16; params stay float32
   # Space-to-depth execution (3D, stride 2 only): packed in AND out.
   packed_io: bool = False
+  # With the phased_fused lowering: return the conv's raw phase-major
+  # output [B, q..., prod(stride)*features] (channel = (r..., f)) and
+  # skip the depth-to-space interleave — the same layout packing.py
+  # uses, so consumers that are voxel-order invariant (the training
+  # loss) avoid two full-size transposes at the final resolution.
+  phase_output: bool = False
 
   @nn.compact
   def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -187,6 +193,18 @@ class ConvTranspose(nn.Module):
       else:
         method = "phased"
 
+    if self.phase_output:
+      assert method == "phased_fused", (
+          "phase_output requires the phased_fused lowering "
+          f"(got {method})")
+      y = self._phased_fused(x, kernel, k, s, p, op, out_spatial,
+                             phase_out=True)
+      if self.use_bias:
+        bias = self.param("bias", torch_bias_init(fan_in),
+                          (self.features,))
+        y = y + jnp.tile(bias, math.prod(s)).astype(y.dtype)
+      return y
+
     if method == "dilated":
       y = self._dilated(x, kernel, k, s, p, op)
     elif method == "phased_fused":
@@ -214,7 +232,8 @@ class ConvTranspose(nn.Module):
         x, flipped, window_strides=(1,) * n, padding=pad,
         lhs_dilation=s, dimension_numbers=self._dn(x.shape, kernel.shape))
 
-  def _phased_fused(self, x, kernel, k, s, p, op, out_spatial):
+  def _phased_fused(self, x, kernel, k, s, p, op, out_spatial,
+                    phase_out=False):
     """All ∏s output phases in ONE dense convolution emitting
     features·∏s channels, followed by a depth-to-space interleave.
 
@@ -280,6 +299,9 @@ class ConvTranspose(nn.Module):
     y = jax.lax.conv_general_dilated(
         x, kcomb, window_strides=(1,) * n, padding=pads,
         dimension_numbers=self._dn(x.shape, kcomb.shape))
+
+    if phase_out:
+      return y  # [B, q..., prod(s)*F], channel-major order (r..., f)
 
     # Depth-to-space: [B, q..., (r..., F)] → [B, (q*s)..., F].
     b = x.shape[0]

@@ -87,8 +87,7 @@ def make_train_step(model,
     from jax.sharding import NamedSharding, PartitionSpec
     space_sharding = NamedSharding(mesh, PartitionSpec("data", "space"))
 
-  phase_loss = bool(getattr(model, "packed_decoder", False)
-                    and getattr(model, "phase_output", False))
+  phase_loss = bool(getattr(model, "phase_output", False))
   if phase_loss:
     # The phased-GT permutation below assumes an unsharded grid and the
     # binary FG_BG loss contract (C voxel values preserved by any
@@ -137,7 +136,9 @@ def make_train_step(model,
         # reshuffles plus an f32 convert of the full-resolution logits.
         b, d2, h2, w2, pc = logits.shape
         c = pc // 8
-        gp = grid.reshape(b, d2, 2, h2, 2, w2, 2)
+        # Permute the GT in uint8 (labels < 256 always): the transpose
+        # is bandwidth-bound, so 1/4 the bytes of an int32 permute.
+        gp = grid.astype(jnp.uint8).reshape(b, d2, 2, h2, 2, w2, 2)
         gp = jnp.transpose(gp, (0, 1, 3, 5, 2, 4, 6))
         gp = gp.reshape(b, d2, h2, w2 * 8)
         return loss_fn(gp, logits.reshape(b, d2, h2, w2 * 8, c)), updates

@@ -91,3 +91,21 @@ def test_packed_decoder_matches_unpacked():
   assert out_packed.shape == out_base.shape
   tt.assert_allclose(np.asarray(out_packed), np.asarray(out_base),
                      rtol=2e-3, atol=2e-4)
+
+
+def test_conv_transpose_phase_output_matches_interleaved():
+  """ConvTranspose(phase_output=True) must equal the normal output after
+  a depth-to-space interleave (it is the same conv minus the reshuffle,
+  so the match is exact)."""
+  rng = np.random.default_rng(17)
+  x = jnp.asarray(rng.random((2, 6, 6, 6, 5)).astype(np.float32))
+  kw = dict(features=3, kernel_size=7, ndim=3, stride=2, padding=3,
+            output_padding=1)
+  m0 = layers.ConvTranspose(**kw)
+  m1 = layers.ConvTranspose(**kw, phase_output=True)
+  params = jax.jit(m0.init)(jax.random.PRNGKey(0), x)
+  fine = jax.jit(m0.apply)(params, x)
+  phased = jax.jit(m1.apply)(params, x)
+  assert phased.shape == (2, 6, 6, 6, 8 * 3)
+  tt.assert_array_equal(np.asarray(packing.depth_to_space(phased, 3)),
+                        np.asarray(fine))
