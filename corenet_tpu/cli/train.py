@@ -56,6 +56,16 @@ class ProgramArgs:
   gt_algorithm: str = flags.flag(
       "'raster' (reference-bit-parity rasterize+fill) or 'parity' (exact"
       " center sampling, ~2x faster, closed meshes)", default="raster")
+  compute_dtype: str = flags.flag(
+      "'bfloat16' (TPU production default; f32 params/stats) or"
+      " 'float32' (reference bit-parity mode)", default="bfloat16")
+  decoder_execution: str = flags.flag(
+      "'fine' or 'packed' (space-to-depth decoder execution; identical"
+      " parameters/checkpoints)", default="fine")
+  phase_loss: str = flags.flag(
+      "'auto' (on for eligible FG_BG configs), 'on', or 'off': train the"
+      " loss on phase-major final-stage logits, skipping the"
+      " full-resolution interleave", default="auto")
   profile_dir: str = flags.flag(
       "When set, capture a jax.profiler trace (xplane) of profile_steps"
       " training iterations into this directory", default="")
@@ -91,7 +101,10 @@ def main(argv=None):
       config.train, config.output_path, mesh=mesh,
       extra_metadata={"train_config": config_to_dict(config.train),
                       "full_config": config_to_dict(config)},
-      gt_mode=args.gt_mode, gt_algorithm=args.gt_algorithm)
+      gt_mode=args.gt_mode, gt_algorithm=args.gt_algorithm,
+      compute_dtype=args.compute_dtype,
+      decoder_execution=args.decoder_execution,
+      phase_loss={"auto": None, "on": True, "off": False}[args.phase_loss])
   evals = RecurrentEvals(config.eval, config.output_path)
   max_steps = args.max_steps if args.max_steps >= 0 else None
   pipeline.run(recurrent_evals=evals, max_steps=max_steps,

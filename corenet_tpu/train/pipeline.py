@@ -64,20 +64,34 @@ class TrainPipeline:
 
   def __init__(self, config: cfg.TrainConfig, output_path: str,
                mesh=None, extra_metadata: Optional[Dict[str, Any]] = None,
-               gt_mode: str = "device", gt_algorithm: str = "raster"):
+               gt_mode: str = "device", gt_algorithm: str = "raster",
+               compute_dtype: str = "bfloat16",
+               decoder_execution: str = "fine",
+               phase_loss: Optional[bool] = None):
     """gt_mode: 'device' voxelizes GT inside the jitted step; 'host'
     computes GT with the native C++ ops in the data-loader threads,
     overlapping device compute (trades host CPU for device time).
     gt_algorithm ('device' mode): 'raster' = rasterize+fill, bit-parity
     with the reference GT pipeline; 'parity' = exact center sampling via
     XOR ray crossings (voxel/parity.py) — ~2x faster steps, requires
-    closed meshes."""
+    closed meshes.
+    compute_dtype: 'bfloat16' (TPU production default; f32 params/stats/
+    logits) or 'float32' (reference bit-parity mode).
+    decoder_execution: 'fine' or 'packed' (space-to-depth decoder,
+    models/packing.py; bit-equivalent, same checkpoints).
+    phase_loss: train the loss on phase-major final-stage logits,
+    skipping the full-resolution interleave (decoder.py phase_output).
+    None = auto (on when FG_BG, last_upscale_factor 2, and no 'space'
+    sharding). Parameters and checkpoints are identical across all of
+    these execution choices."""
     self.config = config
     self.output_path = output_path
     self.mesh = mesh if mesh is not None else mesh_lib.create_mesh()
     self.extra_metadata = extra_metadata or {}
     assert gt_mode in ("device", "host")
     assert gt_algorithm in ("raster", "parity")
+    assert compute_dtype in ("bfloat16", "float32")
+    assert decoder_execution in ("fine", "packed")
     self.gt_mode = gt_mode
     self.gt_algorithm = gt_algorithm
 
@@ -97,7 +111,24 @@ class TrainPipeline:
     self.classes = self.dataset_manager.classes
     self.model_config = model_config_from_train_config(
         config, len(self.classes))
-    self.model = CoreNet(self.model_config)
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+    packed = decoder_execution == "packed"
+    phase_ok = (self.task_type == "FG_BG"
+                and self.model_config.decoder.last_upscale_factor == 2
+                and self.mesh.shape.get("space", 1) == 1)
+    if phase_loss is None:
+      phase_loss = phase_ok
+    elif phase_loss and not phase_ok:
+      raise ValueError(
+          "phase_loss requires FG_BG, last_upscale_factor=2 and no "
+          "'space' sharding")
+    self.model = CoreNet(self.model_config, compute_dtype=dtype,
+                         packed_decoder=packed, phase_output=phase_loss)
+    # Evals need fine-grid [B, D, H, W, C] logits; parameters are shared
+    # (packed/phase change execution, not the parameter tree).
+    self.eval_model = (self.model if not (packed or phase_loss)
+                       else CoreNet(self.model_config, compute_dtype=dtype))
     self.optimizer = state_lib.create_optimizer(
         config.initial_learning_rate, config.adam_epsilon)
 
@@ -351,7 +382,7 @@ class RecurrentEvals:
     if self._inference_factory is None:
       native_res = pipeline.model_config.decoder.resolution
       self._inference_factory = super_resolution_inference_factory(
-          pipeline.model, native_res)
+          getattr(pipeline, "eval_model", pipeline.model), native_res)
     inference = self._inference_factory(variables)
 
     evals_dir = fs.join(pipeline.output_path, "evals")
