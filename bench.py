@@ -186,8 +186,11 @@ def main():
   p.add_argument("--steps", type=int, default=20)
   p.add_argument("--warmup", type=int, default=10)
   p.add_argument("--profile", type=str, default=None)
-  p.add_argument("--packed", action="store_true",
-                 help="space-to-depth packed decoder execution")
+  p.add_argument("--packed", action=argparse.BooleanOptionalAction,
+                 default=True,
+                 help="space-to-depth packed decoder execution (the "
+                      "production fast path; --no-packed for the fine "
+                      "decoder)")
   p.add_argument("--phase", action="store_true",
                  help="phase-major final logits for the loss (skips the "
                       "128^3 interleave; also implied by --packed)")

@@ -60,8 +60,9 @@ class ProgramArgs:
       "'bfloat16' (TPU production default; f32 params/stats) or"
       " 'float32' (reference bit-parity mode)", default="bfloat16")
   decoder_execution: str = flags.flag(
-      "'fine' or 'packed' (space-to-depth decoder execution; identical"
-      " parameters/checkpoints)", default="fine")
+      "'auto' (packed where eligible), 'fine', or 'packed'"
+      " (space-to-depth decoder execution; identical parameters/"
+      "checkpoints)", default="auto")
   phase_loss: str = flags.flag(
       "'auto' (on for eligible FG_BG configs), 'on', or 'off': train the"
       " loss on phase-major final-stage logits, skipping the"

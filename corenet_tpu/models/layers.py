@@ -275,7 +275,8 @@ class ConvTranspose(nn.Module):
       valid = (widx >= 0) & (widx < ki)
       widx_c = np.clip(widx, 0, ki - 1)
       # take along dim d: result axis order [r, t] inserted at d.
-      kd = jnp.take(kcomb, jnp.asarray(widx_c.reshape(-1)), axis=d)
+      from corenet_tpu.models.packing import take_static
+      kd = take_static(kcomb, widx_c.reshape(-1), d)
       new_shape = (kcomb.shape[:d] + (si, taps[d]) + kcomb.shape[d + 1:])
       kd = kd.reshape(new_shape)
       mask_shape = [1] * len(new_shape)
@@ -363,7 +364,8 @@ class ConvTranspose(nn.Module):
         continue
       sub_kernel = kernel
       for d, (_, w_idx, _, _) in enumerate(combo):
-        sub_kernel = jnp.take(sub_kernel, jnp.asarray(w_idx), axis=d)
+        from corenet_tpu.models.packing import take_static
+        sub_kernel = take_static(sub_kernel, w_idx, d)
       pads = [c[2] for c in combo]
       yr = jax.lax.conv_general_dilated(
           x, sub_kernel, window_strides=(1,) * n, padding=pads,

@@ -75,6 +75,18 @@ def _axis_plan_conv(k: int, p: int):
   return min(los), max(his)
 
 
+def take_static(x: jnp.ndarray, idx, axis: int) -> jnp.ndarray:
+  """jnp.take with STATIC indices, lowered as unrolled slices + concat.
+
+  XLA:TPU lowers a real gather on these kernel-expansion tensors as a
+  while loop with dynamic-update-slice (~2 ms per expansion, re-run
+  every training step because the weights change); static slices are
+  pure data formatting."""
+  parts = [jax.lax.slice_in_dim(x, int(i), int(i) + 1, axis=axis)
+           for i in np.asarray(idx).reshape(-1)]
+  return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
+
+
 def packed_conv(x_packed: jnp.ndarray, kernel: jnp.ndarray,
                 padding: int) -> jnp.ndarray:
   """Stride-1 'SAME-ish' conv on packed activations.
@@ -102,8 +114,7 @@ def packed_conv(x_packed: jnp.ndarray, kernel: jnp.ndarray,
     idx = (2 * (dj_lo + t_idx)[:, None, None] +
            np.arange(2)[None, :, None] - np.arange(2)[None, None, :] + p)
     valid = (idx >= 0) & (idx < k)
-    gathered = jnp.take(kk, jnp.asarray(np.clip(idx, 0, k - 1).reshape(-1)),
-                        axis=axis)
+    gathered = take_static(kk, np.clip(idx, 0, k - 1), axis)
     new_shape = kk.shape[:axis] + (taps, 2, 2) + kk.shape[axis + 1:]
     gathered = gathered.reshape(new_shape)
     mask_shape = [1] * len(new_shape)
@@ -157,8 +168,7 @@ def packed_conv_transpose(x_packed: jnp.ndarray, kernel: jnp.ndarray,
            - 2 * np.arange(2)[None, :, None, None]
            + 2 * np.arange(2)[None, None, :, None])
     valid = (idx >= 0) & (idx < k)
-    gathered = jnp.take(kk, jnp.asarray(np.clip(idx, 0, k - 1).reshape(-1)),
-                        axis=axis)
+    gathered = take_static(kk, np.clip(idx, 0, k - 1), axis)
     new_shape = kk.shape[:axis] + (taps, 2, 2, 2) + kk.shape[axis + 1:]
     gathered = gathered.reshape(new_shape)
     mask_shape = [1] * len(new_shape)

@@ -66,7 +66,7 @@ class TrainPipeline:
                mesh=None, extra_metadata: Optional[Dict[str, Any]] = None,
                gt_mode: str = "device", gt_algorithm: str = "raster",
                compute_dtype: str = "bfloat16",
-               decoder_execution: str = "fine",
+               decoder_execution: str = "auto",
                phase_loss: Optional[bool] = None):
     """gt_mode: 'device' voxelizes GT inside the jitted step; 'host'
     computes GT with the native C++ ops in the data-loader threads,
@@ -77,8 +77,11 @@ class TrainPipeline:
     closed meshes.
     compute_dtype: 'bfloat16' (TPU production default; f32 params/stats/
     logits) or 'float32' (reference bit-parity mode).
-    decoder_execution: 'fine' or 'packed' (space-to-depth decoder,
-    models/packing.py; bit-equivalent, same checkpoints).
+    decoder_execution: 'auto' (packed when the config is eligible:
+    last_upscale_factor 2 and an even seed grid — true for all 128³
+    production configs), 'fine', or 'packed' (space-to-depth decoder,
+    models/packing.py; bit-equivalent, same checkpoints; measured
+    fastest on TPU).
     phase_loss: train the loss on phase-major final-stage logits,
     skipping the full-resolution interleave (decoder.py phase_output).
     None = auto (on when FG_BG, last_upscale_factor 2, and no 'space'
@@ -91,7 +94,7 @@ class TrainPipeline:
     assert gt_mode in ("device", "host")
     assert gt_algorithm in ("raster", "parity")
     assert compute_dtype in ("bfloat16", "float32")
-    assert decoder_execution in ("fine", "packed")
+    assert decoder_execution in ("auto", "fine", "packed")
     self.gt_mode = gt_mode
     self.gt_algorithm = gt_algorithm
 
@@ -113,9 +116,16 @@ class TrainPipeline:
         config, len(self.classes))
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
-    packed = decoder_execution == "packed"
-    phase_ok = (self.task_type == "FG_BG"
-                and self.model_config.decoder.last_upscale_factor == 2
+    dec = self.model_config.decoder
+    luf = dec.last_upscale_factor
+    seed = [r // (16 * luf) for r in dec.resolution]
+    packed_ok = (luf == 2 and all(v % 2 == 0 and v > 0 for v in seed))
+    packed = (decoder_execution == "packed"
+              or (decoder_execution == "auto" and packed_ok))
+    if packed and not packed_ok:
+      raise ValueError("packed decoding needs last_upscale_factor=2 and "
+                       f"an even seed grid (got luf={luf}, seed={seed})")
+    phase_ok = (self.task_type == "FG_BG" and luf == 2
                 and self.mesh.shape.get("space", 1) == 1)
     if phase_loss is None:
       phase_loss = phase_ok
