@@ -36,7 +36,11 @@ _PALLAS_MIN_N = 32768
 def _use_pallas(n: int, use_pallas: bool | None) -> bool:
   if use_pallas is not None:
     return use_pallas
-  return jax.default_backend() == "tpu" and n >= _PALLAS_MIN_N
+  # Single-chip TPU only: pallas_call has no SPMD partitioning rules, so
+  # under a multi-device mesh the XLA gather path (which partitions
+  # automatically) is used instead.
+  return (jax.default_backend() == "tpu" and jax.device_count() == 1
+          and n >= _PALLAS_MIN_N)
 
 
 def sample_grid2d(grid2d: jnp.ndarray,

@@ -113,6 +113,9 @@ def fgbg_sums(diff: jnp.ndarray,   # float[B, ...] logit differences
 def use_fgbg_kernel(logits: jnp.ndarray, weights) -> bool:
   b = logits.shape[0]
   n = logits.size // b // logits.shape[-1]
+  # Single-chip TPU only (no SPMD partitioning rules for pallas_call);
+  # multi-device meshes keep the XLA lowering, which partitions.
   return (weights is None and logits.shape[-1] == 2
           and n % (8 * 128) == 0
-          and jax.default_backend() == "tpu")
+          and jax.default_backend() == "tpu"
+          and jax.device_count() == 1)

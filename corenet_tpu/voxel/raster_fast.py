@@ -56,6 +56,12 @@ def blocked_eligible(*, resolution, sub_grid_sampling,
                      max_bbox_pixels) -> bool:
   d, h, w = resolution
   irm = image_resolution_multiplier
+  # On a multi-device TPU mesh the compiled Pallas scatter has no SPMD
+  # partitioning rules; the general (pure-XLA) voxelizer partitions
+  # automatically, so the blocked path is single-chip TPU (or any
+  # interpret-mode backend) only.
+  if jax.default_backend() == "tpu" and jax.device_count() > 1:
+    return False
   return (d == h == w and d % 32 == 0 and d >= 32
           and not sub_grid_sampling
           and projection_depth_multiplier == 1
