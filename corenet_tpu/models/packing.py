@@ -30,9 +30,6 @@ unpacked decoder and gradients flow to the same tree.
 
 from __future__ import annotations
 
-import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
