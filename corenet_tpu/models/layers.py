@@ -172,10 +172,12 @@ class ConvTranspose(nn.Module):
       from corenet_tpu.models import packing
       assert n == 3 and all(si == 2 for si in s)
       assert len(set(k)) == 1 and len(set(p)) == 1 and len(set(op)) == 1
-      y = packing.packed_conv_transpose(x, kernel, 2, p[0], op[0])
+      y = packing.packed_conv_transpose(x, kernel, 2, p[0], op[0],
+                                        phase_output=self.phase_output)
       if self.use_bias:
         bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
-        y = (y + jnp.tile(bias, 8).astype(y.dtype)).astype(y.dtype)
+        reps = 64 if self.phase_output else 8
+        y = (y + jnp.tile(bias, reps).astype(y.dtype)).astype(y.dtype)
       return y
 
     in_spatial = x.shape[1:-1]

@@ -128,20 +128,30 @@ def make_train_step(model,
         logits = jax.lax.with_sharding_constraint(
             logits, space_sharding)
       if phase_loss:
-        # Phase-packed logits [B, D/2, H/2, W/2, 8*C] (phase-major
-        # (pz,py,px,c)): the loss is voxel-order invariant, so pair a
-        # phased VIEW of the logits (free, row-major reshape) with a
-        # phased copy of the GT grid instead of depth_to_space-ing 128³
-        # logits. One int transpose of the GT replaces two bf16/f32
-        # reshuffles plus an f32 convert of the full-resolution logits.
-        b, d2, h2, w2, pc = logits.shape
-        c = pc // 8
-        # Permute the GT in uint8 (labels < 256 always): the transpose
-        # is bandwidth-bound, so 1/4 the bytes of an int32 permute.
-        gp = grid.astype(jnp.uint8).reshape(b, d2, 2, h2, 2, w2, 2)
-        gp = jnp.transpose(gp, (0, 1, 3, 5, 2, 4, 6))
-        gp = gp.reshape(b, d2, h2, w2 * 8)
-        return loss_fn(gp, logits.reshape(b, d2, h2, w2 * 8, c)), updates
+        # Phase-packed logits: the loss is voxel-order invariant, so
+        # pair a phased VIEW of the logits (free, row-major reshape)
+        # with a phased copy of the GT grid instead of
+        # depth_to_space-ing 128³ logits. One uint8 transpose of the GT
+        # replaces full-resolution bf16/f32 reshuffles + f32 converts.
+        # Two layouts: factor 8 ([B, D/2, ..., 8*C], channels
+        # (pz,py,px,c) — fine decoder) or factor 64 ([B, D/4, ...,
+        # 64*C], channels (rm0,rm1,rm2,pz,py,px,c) — packed decoder
+        # with the stage_6 rm-interleave also skipped; fine index
+        # Z = 4*j + 2*rm + pz per axis).
+        b, dq, hq, wq, pc = logits.shape
+        nc = model.config.decoder.num_output_channels
+        factor = pc // nc
+        g8 = grid.astype(jnp.uint8)
+        if factor == 8:
+          gp = g8.reshape(b, dq, 2, hq, 2, wq, 2)
+          gp = jnp.transpose(gp, (0, 1, 3, 5, 2, 4, 6))
+        else:
+          assert factor == 64, factor
+          gp = g8.reshape(b, dq, 2, 2, hq, 2, 2, wq, 2, 2)
+          gp = jnp.transpose(gp, (0, 1, 4, 7, 2, 5, 8, 3, 6, 9))
+        gp = gp.reshape(b, dq, hq, wq * factor)
+        return loss_fn(gp, logits.reshape(b, dq, hq, wq * factor,
+                                          nc)), updates
       return loss_fn(grid, logits), updates
 
     (loss, updates), grads = jax.value_and_grad(

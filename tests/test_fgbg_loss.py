@@ -90,3 +90,26 @@ def test_phase_packed_view_equals_fine_loss():
   gp = jnp.transpose(gp, (0, 1, 3, 5, 2, 4, 6)).reshape(b, d2, h2, w2 * 8)
   got = losses.iou_fgbg(gp, lp.reshape(b, d2, h2, w2 * 8, 2))
   tt.assert_allclose(float(got), float(ref), rtol=1e-6)
+
+
+def test_deep_phase_view_equals_fine_loss():
+  """The factor-64 pairing (train/step.py): packed decoder with the
+  stage-6 rm-interleave skipped — fine index Z = 4*j + 2*rm + pz,
+  channel order (rm0, rm1, rm2, pz, py, px, c)."""
+  rng = np.random.default_rng(29)
+  b, d, h, w, c = 2, 8, 8, 8, 2
+  gt = jnp.asarray(rng.integers(0, 2, (b, d, h, w)), jnp.int32)
+  logits = jnp.asarray(rng.standard_normal((b, d, h, w, c)) * 2,
+                       jnp.float32)
+  ref = losses.iou_fgbg(gt, logits)
+
+  d4, h4, w4 = d // 4, h // 4, w // 4
+  lp = logits.reshape(b, d4, 2, 2, h4, 2, 2, w4, 2, 2, c)
+  lp = jnp.transpose(lp, (0, 1, 4, 7, 2, 5, 8, 3, 6, 9, 10))
+  lp = lp.reshape(b, d4, h4, w4, 64 * c)
+
+  gp = gt.astype(jnp.uint8).reshape(b, d4, 2, 2, h4, 2, 2, w4, 2, 2)
+  gp = jnp.transpose(gp, (0, 1, 4, 7, 2, 5, 8, 3, 6, 9))
+  gp = gp.reshape(b, d4, h4, w4 * 64)
+  got = losses.iou_fgbg(gp, lp.reshape(b, d4, h4, w4 * 64, c))
+  tt.assert_allclose(float(got), float(ref), rtol=1e-6)

@@ -109,3 +109,23 @@ def test_conv_transpose_phase_output_matches_interleaved():
   assert phased.shape == (2, 6, 6, 6, 8 * 3)
   tt.assert_array_equal(np.asarray(packing.depth_to_space(phased, 3)),
                         np.asarray(fine))
+
+
+def test_packed_conv_transpose_phase_output_matches():
+  """packed_conv_transpose(phase_output=True) returns the raw conv
+  output; interleaving rm into space must reproduce the normal result
+  exactly (it is literally the skipped code)."""
+  rng = np.random.default_rng(23)
+  cin, cout = 3, 2
+  x = jnp.asarray(rng.random((1, 4, 4, 4, 8 * cin)).astype(np.float32))
+  kernel = jnp.asarray(
+      rng.random((7, 7, 7, cin, cout)).astype(np.float32) - 0.5)
+  normal = packing.packed_conv_transpose(x, kernel, 2, 3, 1)
+  raw = packing.packed_conv_transpose(x, kernel, 2, 3, 1,
+                                      phase_output=True)
+  b, j0, j1, j2, pc = raw.shape
+  assert pc == 64 * cout
+  y = raw.reshape(b, j0, j1, j2, 2, 2, 2, 8 * cout)
+  y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7))
+  y = y.reshape(b, 2 * j0, 2 * j1, 2 * j2, 8 * cout)
+  tt.assert_array_equal(np.asarray(y), np.asarray(normal))
