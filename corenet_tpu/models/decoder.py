@@ -153,8 +153,12 @@ class ReconstructionDecoder(nn.Module):
     x = apply_skip(x, imf.stage2_256, 5)
     fine_phase = (self.phase_output and not packed
                   and self.last_upscale_factor == 2)
+    # Packed + phase_output: stage_6 also skips its rm-interleave and
+    # emits the deep-phase [B, D/4, H/4, W/4, 64*C] layout; the train
+    # step pairs it with the matching GT permutation (factor 64).
+    t_phase = fine_phase or (packed and self.phase_output)
     x = tower(x, "stage_6", 16, 5, self.num_output_channels, 7,
-              self.last_upscale_factor, 3, 1, t_phase=fine_phase)
+              self.last_upscale_factor, 3, 1, t_phase=t_phase)
     if packed:
       if self.phase_output:
         return x
