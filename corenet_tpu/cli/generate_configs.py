@@ -21,48 +21,40 @@ import enum
 import json
 import os
 import typing
-from typing import Any, List, NamedTuple
+from typing import Dict, List
 
 from corenet_tpu.config import config as c
 from corenet_tpu.config.config import config_to_dict
 
+# The 3×3 ShapeNet dataset grid: collection → split → Dataset. The
+# single-object collections carry the Choy-class table; the multi-object
+# ones the full class table.
+_SPLITS = ("train", "val", "test")
+_COLLECTIONS = ("single", "pairs", "triplets")
 
-class AllDataSets(NamedTuple):
-  single_train: Any
-  single_val: Any
-  single_test: Any
-  pairs_train: Any
-  pairs_val: Any
-  pairs_test: Any
-  triplets_train: Any
-  triplets_val: Any
-  triplets_test: Any
+DatasetTable = Dict[str, Dict[str, c.Dataset]]
 
 
-def lo_realism(all_ds: AllDataSets) -> AllDataSets:
-  return AllDataSets(
-      *[dataclasses.replace(ds, high_realism=False) for ds in all_ds])
-
-
-def shuffle_per_epoch(ds: c.Dataset) -> c.Dataset:
-  return dataclasses.replace(ds, shuffle=c.ShuffleType.PER_EPOCH)
+def dataset_table(high_realism: bool = True) -> DatasetTable:
+  return {
+      coll: {
+          split: c.Dataset(
+              dataset_path=(
+                  f"{{data_dir}}/{coll}.{split}/"
+                  + ("dataset.choy_classes.json" if coll == "single"
+                     else "dataset.json")),
+              meshes_dir="{meshes_dir}",
+              high_realism=high_realism,
+              shuffle=c.ShuffleType.ONCE,
+              data_fraction=1.0)
+          for split in _SPLITS
+      }
+      for coll in _COLLECTIONS
+  }
 
 
 def default_data_loader() -> c.DataLoaderConfig:
   return c.DataLoaderConfig(num_data_workers=6, batch_size=4)
-
-
-def default_datasets() -> AllDataSets:
-  ds = []
-  for field_name in AllDataSets._fields:
-    ds_name, ds_split = field_name.split("_")
-    json_file = ("dataset.choy_classes.json" if ds_name == "single"
-                 else "dataset.json")
-    ds.append(c.Dataset(
-        dataset_path=f"{{data_dir}}/{ds_name}.{ds_split}/{json_file}",
-        meshes_dir="{meshes_dir}", high_realism=True,
-        shuffle=c.ShuffleType.ONCE, data_fraction=1.0))
-  return AllDataSets(*ds)
 
 
 def common_string_templates() -> List[c.StringTemplate]:
@@ -72,17 +64,17 @@ def common_string_templates() -> List[c.StringTemplate]:
   ]
 
 
-def create_evals(all_ds: AllDataSets, num_obj: int,
+def create_evals(table: DatasetTable, collection: str,
                  vox: c.VoxelizationConfig) -> List[c.RecurrentEvalConfig]:
   """The reference's 4-tier recurrent eval schedule
   (generate_configs.py:78-135)."""
-  ds_name = {1: "single", 2: "pairs", 3: "triplets"}[num_obj]
-  ds_test = getattr(all_ds, f"{ds_name}_test")
-  ds_val = getattr(all_ds, f"{ds_name}_val")
+  ds_test = table[collection]["test"]
   ds_test_short = dataclasses.replace(ds_test, data_fraction=1e-2)
-  ds_test_medium = dataclasses.replace(ds_test, data_fraction=1e-1)
-  ds_short_train = dataclasses.replace(ds_val, data_fraction=1e-2,
-                                       shuffle=c.ShuffleType.ONCE)
+  ds_test_medium = dataclasses.replace(
+      ds_test, data_fraction=1e-1, shuffle=c.ShuffleType.PER_EPOCH)
+  ds_short_train = dataclasses.replace(
+      table[collection]["val"], data_fraction=1e-2,
+      shuffle=c.ShuffleType.ONCE)
 
   def pipeline(datasets, shuffle):
     return c.DataPipeline(datasets=datasets, shuffle=shuffle,
@@ -113,8 +105,7 @@ def create_evals(all_ds: AllDataSets, num_obj: int,
               name="medium_eval",
               num_qualitative_results=100,
               num_qualitative_results_in_tensor_board=4,
-              data=pipeline([shuffle_per_epoch(ds_test_medium)],
-                            c.ShuffleType.PER_EPOCH))),
+              data=pipeline([ds_test_medium], c.ShuffleType.PER_EPOCH))),
       # Full test set, stable shuffle, with a persistent checkpoint.
       c.RecurrentEvalConfig(
           start_step=500000, interval=500000, persistent_checkpoint=True,
@@ -132,7 +123,8 @@ def build_train_pipelines():
                        value="{data_dir}/keras_resnet50_imagenet.npz"),
       c.StringTemplate(key="output_dir", value="output/models"),
   ]
-  ds = default_datasets()
+  hi = dataset_table(high_realism=True)
+  lo = dataset_table(high_realism=False)
 
   vox_fgbg_128 = c.VoxelizationConfig(
       task_type=c.TaskType.FG_BG, resolution=c.Resolution(128, 128, 128),
@@ -158,33 +150,38 @@ def build_train_pipelines():
       adam_epsilon=0.0001,
   )
 
-  def train_pipeline(name, train_ds, val_ds, vox, evals_ds, num_obj,
-                     eval_vox, random_grid_offset):
+  def train_pipeline(name, table, collection, vox, eval_vox,
+                     random_grid_offset):
+    # Training consumes train + val of the collection, reshuffled each
+    # epoch (the reference holds test out for the eval tiers).
+    train_datasets = [
+        dataclasses.replace(table[collection][split],
+                            shuffle=c.ShuffleType.PER_EPOCH)
+        for split in ("train", "val")
+    ]
     return c.TrainPipeline(
         string_templates=templates,
         train=c.TrainConfig(
             data=c.DataPipeline(
-                datasets=[shuffle_per_epoch(train_ds),
-                          shuffle_per_epoch(val_ds)],
+                datasets=train_datasets,
                 data_loader=default_data_loader(),
                 shuffle=c.ShuffleType.PER_EPOCH,
                 voxelization_config=vox),
             random_grid_offset=random_grid_offset, **common),
-        eval=create_evals(evals_ds, num_obj, eval_vox),
+        eval=create_evals(table, collection, eval_vox),
         output_path=f"{{output_dir}}/{name}")
 
-  lo = lo_realism(ds)
   return {
-      "h5": train_pipeline("h5", lo.single_train, lo.single_val,
-                           vox_fgbg_128, lo, 1, vox_fgbg_128, False),
-      "h7": train_pipeline("h7", ds.single_train, ds.single_val,
-                           vox_fgbg_128, ds, 1, vox_fgbg_128, False),
-      "y1": train_pipeline("y1", ds.single_train, ds.single_val,
-                           vox_fgbg_32_subgrid, ds, 1, vox_fgbg_128, True),
-      "m7": train_pipeline("m7", ds.pairs_train, ds.pairs_val,
-                           vox_sem_128, ds, 2, vox_sem_128, False),
-      "m9": train_pipeline("m9", ds.triplets_train, ds.triplets_val,
-                           vox_sem_128, ds, 3, vox_sem_128, False),
+      "h5": train_pipeline("h5", lo, "single", vox_fgbg_128, vox_fgbg_128,
+                           False),
+      "h7": train_pipeline("h7", hi, "single", vox_fgbg_128, vox_fgbg_128,
+                           False),
+      "y1": train_pipeline("y1", hi, "single", vox_fgbg_32_subgrid,
+                           vox_fgbg_128, True),
+      "m7": train_pipeline("m7", hi, "pairs", vox_sem_128, vox_sem_128,
+                           False),
+      "m9": train_pipeline("m9", hi, "triplets", vox_sem_128, vox_sem_128,
+                           False),
   }
 
 
@@ -194,8 +191,8 @@ def build_tf_eval_pipelines():
                        value="{data_dir}/paper_tf_models"),
       c.StringTemplate(key="output_dir", value="output/paper_tf_models"),
   ]
-  ds = default_datasets()
-  lo = lo_realism(ds)
+  hi = dataset_table(high_realism=True)
+  lo = dataset_table(high_realism=False)
 
   vox_fgbg = c.VoxelizationConfig(
       task_type=c.TaskType.FG_BG, resolution=c.Resolution(128, 128, 128),
@@ -222,11 +219,11 @@ def build_tf_eval_pipelines():
         output_path=f"{{output_dir}}/{name}")
 
   return {
-      "h5": tf_eval("h5", lo.single_test, vox_fgbg),
-      "h7": tf_eval("h7", ds.single_test, vox_h7),
-      "m7": tf_eval("m7", ds.pairs_test, vox_sem),
-      "m9": tf_eval("m9", ds.triplets_test, vox_sem),
-      "y1": tf_eval("y1", lo.single_test, vox_fgbg),
+      "h5": tf_eval("h5", lo["single"]["test"], vox_fgbg),
+      "h7": tf_eval("h7", hi["single"]["test"], vox_h7),
+      "m7": tf_eval("m7", hi["pairs"]["test"], vox_sem),
+      "m9": tf_eval("m9", hi["triplets"]["test"], vox_sem),
+      "y1": tf_eval("y1", lo["single"]["test"], vox_fgbg),
   }
 
 

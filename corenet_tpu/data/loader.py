@@ -54,6 +54,13 @@ def _worker_get(index: int):
   return _WORKER_DATASET[int(index)]
 
 
+class _ProducerError:
+  """Queue marker carrying a producer-side exception to the consumer."""
+
+  def __init__(self, exc: BaseException):
+    self.exc = exc
+
+
 def distributed_indices(num_examples: int, num_shards: int, shard: int,
                         pad_data: bool, seed: int = 0x1234,
                         shuffle: bool = True) -> np.ndarray:
@@ -179,17 +186,24 @@ class DataLoader:
       return False
 
     def producer():
-      pool, fetch = self._make_pool()
-      with pool:
-        try:
+      # Any worker failure (a BrokenProcessPool from a killed/unimportable
+      # spawn worker, a decode error) must abort the epoch LOUDLY: if the
+      # sentinel alone were enqueued, training epochs and eval shards
+      # would silently truncate and eval would report metrics over a
+      # partial dataset.
+      try:
+        pool, fetch = self._make_pool()
+        with pool:
           for s in batch_starts:
             if stop.is_set():
               break
             idx = list(range(s, min(s + self.batch_size, n)))
             if not put(self._load_batch(idx, pool, fetch)):
               break
-        finally:
-          put(sentinel)
+      except BaseException as e:  # re-raised in the consumer
+        put(_ProducerError(e))
+      else:
+        put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -198,6 +212,10 @@ class DataLoader:
         item = q.get()
         if item is sentinel:
           break
+        if isinstance(item, _ProducerError):
+          raise RuntimeError(
+              "data loader producer failed; aborting the epoch"
+          ) from item.exc
         yield item
     finally:
       stop.set()

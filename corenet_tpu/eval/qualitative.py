@@ -20,6 +20,7 @@ import numpy as np
 
 from corenet_tpu.utils import fs
 from corenet_tpu.viz import artifacts as art
+from corenet_tpu.viz import isosurface
 
 try:
   import PIL.Image
@@ -43,10 +44,23 @@ def visualize_scene_output(input_image: np.ndarray,
   (the reference's MarchingCubesArtifact) unless it exceeds
   max_surface_triangles — a barely-trained model's near-noise PMF can
   yield millions of sliver triangles, where the O(pixels) raycast
-  isosurface is the sane rendering — rasterization cost is O(T·H·W)."""
+  isosurface is the sane rendering — rasterization cost is O(T·H·W).
+  The cap is checked with an O(voxels) active-cell pre-count so the
+  near-noise case never pays for (or allocates) the full extraction."""
   pred_labels = np.argmax(pmf, axis=-1).astype(np.int32)
-  surface = art.MeshSurfaceArtifact(pmf, grid_to_world=grid_to_view)
-  if sum(m.shape[0] for m in surface.meshes) > max_surface_triangles:
+  pmf_f = np.asarray(pmf, np.float32)
+  # Active cells emit ~2-6 triangles each (≤12); ×4 approximates the
+  # extraction size well enough to gate on, and the exact post-check
+  # below still enforces the cap for rendering.
+  est_cells = sum(
+      isosurface.count_active_cells(isosurface.box_filter3d(pmf_f[..., c], 1))
+      for c in range(1, pmf_f.shape[-1]))
+  surface = None
+  if est_cells * 4 <= max_surface_triangles:
+    surface = art.MeshSurfaceArtifact(pmf, grid_to_world=grid_to_view)
+    if sum(m.shape[0] for m in surface.meshes) > max_surface_triangles:
+      surface = None
+  if surface is None:
     surface = art.IsosurfaceArtifact(pmf, grid_to_world=grid_to_view)
   items = [
       art.ImageArtifact(input_image),

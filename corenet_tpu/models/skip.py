@@ -27,19 +27,22 @@ import jax.numpy as jnp
 
 from corenet_tpu.models import layers
 from corenet_tpu.ops import skip_gather as skip_gather_op
+from corenet_tpu.parallel import kernel_sharding
 
 # Minimum gathered-voxel count for the Pallas kernel; below this the XLA
 # gather is negligible and not worth a kernel launch. None = auto.
 _PALLAS_MIN_N = 32768
 
 
-def _use_pallas(n: int, use_pallas: bool | None) -> bool:
+def _use_pallas(b: int, n: int, use_pallas: bool | None) -> bool:
   if use_pallas is not None:
     return use_pallas
-  # Single-chip TPU only: pallas_call has no SPMD partitioning rules, so
-  # under a multi-device mesh the XLA gather path (which partitions
+  # Multi-device: only under a registered pure-data mesh, where the
+  # kernel shard_maps over 'data' (parallel/kernel_sharding.py); under a
+  # 'space'-sharded mesh the XLA gather path (which partitions
   # automatically) is used instead.
-  return (jax.default_backend() == "tpu" and jax.device_count() == 1
+  return (kernel_sharding.backend_ok()
+          and kernel_sharding.kernel_mode(b) is not None
           and n >= _PALLAS_MIN_N)
 
 
@@ -104,7 +107,7 @@ def sample_grid2d(grid2d: jnp.ndarray,
                    constant_values=outside_value)
   behind = camera_depth < 0
   n = px.size // b
-  if _use_pallas(n, use_pallas):
+  if _use_pallas(b, n, use_pallas):
     # Behind-camera voxels read pixel (0, 0) — a pad-ring cell holding
     # outside_value — so no post-gather select is needed, and their
     # gradient lands in the pad ring, which the pad adjoint discards.

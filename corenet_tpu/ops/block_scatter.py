@@ -119,7 +119,12 @@ def block_scatter_or(origins: jnp.ndarray,  # int32[B, T]
   """Returns uint32[B, meshes, h, w*nw] OR-accumulated packed grids."""
   b, t = origins.shape
   assert pw.shape == (b, t, DB, DB * nw), pw.shape
-  chunk = min(chunk, t)
+  # Compiled Mosaic requires the rank-1 SMEM block to match XLA's 1-D
+  # s32 layout tile, which is min(array_size, 1024): never shrink the
+  # chunk below its 1024 default — small triangle counts are padded UP
+  # to a full chunk instead ("XLA layout {0:T(256)} does not match
+  # Mosaic layout" at T=24 otherwise; padded origins are -1 = skip, so
+  # the only cost is a few KB of SMEM/VMEM input).
   if t % chunk:
     pad = chunk - t % chunk
     origins = jnp.pad(origins, ((0, 0), (0, pad)), constant_values=-1)

@@ -23,6 +23,9 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.sharding import Mesh
+
+from corenet_tpu.parallel import kernel_sharding
 
 MAX_TILE = 2048  # rows of 128 lanes per step (512 KB bf16 + 1 MB int32)
 
@@ -100,22 +103,38 @@ def fgbg_sums(diff: jnp.ndarray,   # float[B, ...] logit differences
               interpret: bool | None = None):
   """Per-scene (intersection, union) soft-IoU sums; differentiable in
   diff. Requires the per-scene element count to be a multiple of
-  TILE*128 (true for 32^3+ grids)."""
+  TILE*128 (true for 32^3+ grids).
+
+  On a multi-device pure-data mesh the kernel runs per batch shard under
+  shard_map (parallel/kernel_sharding.py); the returned [B] vectors stay
+  'data'-sharded and the caller's mean reduces them with XLA collectives.
+  """
   b = diff.shape[0]
   n = diff.size // b
   assert n % (8 * 128) == 0, n
   if interpret is None:
     interpret = jax.default_backend() != "tpu"
-  fn = _make_fn(b, n, diff.dtype.name, gt.dtype.name, bool(interpret))
-  return fn(diff, gt)
+
+  def call(d, g):
+    fn = _make_fn(d.shape[0], n, d.dtype.name, g.dtype.name,
+                  bool(interpret))
+    return fn(d, g)
+
+  kernel_sharding.trace_counters["fgbg"] += 1
+  mode = kernel_sharding.kernel_mode(b)
+  if isinstance(mode, Mesh):
+    return kernel_sharding.map_over_data(call, mode, n_in=2,
+                                         n_out=2)(diff, gt)
+  return call(diff, gt)
 
 
 def use_fgbg_kernel(logits: jnp.ndarray, weights) -> bool:
   b = logits.shape[0]
   n = logits.size // b // logits.shape[-1]
-  # Single-chip TPU only (no SPMD partitioning rules for pallas_call);
-  # multi-device meshes keep the XLA lowering, which partitions.
+  # Multi-device: only under a registered pure-data mesh (shard_map wraps
+  # the kernel per batch shard); 'space'-sharded meshes keep the XLA
+  # lowering, which partitions spatially.
   return (weights is None and logits.shape[-1] == 2
           and n % (8 * 128) == 0
-          and jax.default_backend() == "tpu"
-          and jax.device_count() == 1)
+          and kernel_sharding.backend_ok()
+          and kernel_sharding.kernel_mode(b) is not None)

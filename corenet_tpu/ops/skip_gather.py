@@ -39,6 +39,9 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.sharding import Mesh
+
+from corenet_tpu.parallel import kernel_sharding
 
 TILE_N = 512
 
@@ -135,19 +138,10 @@ def _make(b, n, w2, h2p, c, dt_name, interpret):
   return jax.jit(gather)
 
 
-def skip_gather(fmap_padded: jnp.ndarray,   # [B, H2, W2, C] float
-                px: jnp.ndarray,            # [B, N] int32, in [0, W2)
-                py: jnp.ndarray,            # [B, N] int32, in [0, H2)
-                interpret: bool | None = None) -> jnp.ndarray:
-  """Gathers fmap_padded[b, py, px, :] for each index pair.
-
-  Returns [B, N, C] in fmap_padded's dtype; differentiable wrt
-  fmap_padded (indices get no gradient).
-  """
+def _gather_local(fmap_padded, px, py, *, interpret):
+  """The single-shard gather (see `skip_gather`); batch = local batch."""
   b, h2, w2, c = fmap_padded.shape
   n = px.shape[1]
-  if interpret is None:
-    interpret = jax.default_backend() != "tpu"
   h2p = ((h2 + 127) // 128) * 128
   # [B, H2, W2, C] -> [B, C, H2p, W2] -> [B, C*H2p, W2]: u indexes a
   # 128-aligned lane group per channel inside the kernel.
@@ -159,8 +153,31 @@ def skip_gather(fmap_padded: jnp.ndarray,   # [B, H2, W2, C] float
     px = jnp.pad(px, ((0, 0), (0, pad_n)))
     py = jnp.pad(py, ((0, 0), (0, pad_n)))
   gather = _make(b, n + pad_n, w2, h2p, c, fmap_padded.dtype.name,
-                 bool(interpret))
+                 interpret)
   out_t = gather(fmapx, px.astype(jnp.int32), py.astype(jnp.int32))
   if pad_n:
     out_t = out_t[:, :, :n]
   return jnp.transpose(out_t, (0, 2, 1))
+
+
+def skip_gather(fmap_padded: jnp.ndarray,   # [B, H2, W2, C] float
+                px: jnp.ndarray,            # [B, N] int32, in [0, W2)
+                py: jnp.ndarray,            # [B, N] int32, in [0, H2)
+                interpret: bool | None = None) -> jnp.ndarray:
+  """Gathers fmap_padded[b, py, px, :] for each index pair.
+
+  Returns [B, N, C] in fmap_padded's dtype; differentiable wrt
+  fmap_padded (indices get no gradient). On a multi-device pure-data
+  mesh the kernel (and its matmul backward) runs per batch shard under
+  shard_map (parallel/kernel_sharding.py).
+  """
+  b = fmap_padded.shape[0]
+  if interpret is None:
+    interpret = jax.default_backend() != "tpu"
+  core = functools.partial(_gather_local, interpret=bool(interpret))
+  kernel_sharding.trace_counters["skip_gather"] += 1
+  mode = kernel_sharding.kernel_mode(b)
+  if isinstance(mode, Mesh):
+    return kernel_sharding.map_over_data(core, mode, n_in=3)(
+        fmap_padded, px, py)
+  return core(fmap_padded, px, py)

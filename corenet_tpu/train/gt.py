@@ -46,8 +46,12 @@ def voxelize_scene(triangles: jnp.ndarray,
                    conservative_rasterization: bool = True,
                    projection_depth_multiplier: int = 1,
                    fill_inside: bool = True,
-                   max_bbox_pixels=None) -> jnp.ndarray:
-  """Voxelizes one scene into an int32[D, H, W] labeled grid."""
+                   max_bbox_pixels=None,
+                   fill_rounds=None) -> jnp.ndarray:
+  """Voxelizes one scene into an int32[D, H, W] labeled grid.
+
+  fill_rounds: static interior-fill round count (multi-process-safe mode,
+  voxel/fill.py:_outside_mask); None = adaptive fixpoint."""
   d, h, w = resolution
   m = float(max(d, h, w))
   num_mesh_slots = mesh_labels.shape[0]
@@ -71,7 +75,7 @@ def voxelize_scene(triangles: jnp.ndarray,
       max_bbox_pixels=max_bbox_pixels)
 
   if fill_inside:
-    mesh_grids = fill_inside_voxels(mesh_grids)
+    mesh_grids = fill_inside_voxels(mesh_grids, fill_rounds=fill_rounds)
   if sub_grid_sampling:
     mesh_grids = get_sub_grid_centers(mesh_grids)
 
@@ -82,7 +86,7 @@ def voxelize_scene(triangles: jnp.ndarray,
 def _blocked_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
                    grid_offsets, *, resolution,
                    image_resolution_multiplier,
-                   conservative_rasterization, fill_inside):
+                   conservative_rasterization, fill_inside, fill_rounds):
   """Fast blocked path (voxel/raster_fast.py): subdivided triangles →
   bit-packed Pallas block scatter → packed flood fill → labeled grid."""
   d, h, w = resolution
@@ -104,7 +108,8 @@ def _blocked_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
       num_meshes=num_mesh_slots, resolution=tuple(resolution),
       image_resolution_multiplier=int(image_resolution_multiplier),
       conservative_rasterization=conservative_rasterization,
-      fill_inside=fill_inside)  # f32[B, M, D, H, W]
+      fill_inside=fill_inside,
+      fill_rounds=fill_rounds)  # f32[B, M, D, H, W]
   labeled = mesh_grids * mesh_labels.astype(jnp.float32)[:, :, None, None,
                                                          None]
   return jnp.max(labeled, axis=1).astype(jnp.int32)
@@ -137,7 +142,8 @@ def voxelize_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
           "image_resolution_multiplier", 4),
       projection_depth_multiplier=kwargs.get(
           "projection_depth_multiplier", 1),
-      max_bbox_pixels=kwargs.get("max_bbox_pixels")):
+      max_bbox_pixels=kwargs.get("max_bbox_pixels"),
+      batch=b):
     grid = _blocked_batch(
         triangles, tri_mesh_slot, tri_valid, mesh_labels, grid_offsets,
         resolution=kwargs["resolution"],
@@ -145,7 +151,8 @@ def voxelize_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
             "image_resolution_multiplier", 4),
         conservative_rasterization=kwargs.get(
             "conservative_rasterization", True),
-        fill_inside=kwargs.get("fill_inside", True))
+        fill_inside=kwargs.get("fill_inside", True),
+        fill_rounds=kwargs.get("fill_rounds"))
     return grid, v2x
 
   fn = functools.partial(voxelize_scene, **kwargs)

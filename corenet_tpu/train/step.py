@@ -70,6 +70,12 @@ def make_train_step(model,
   on-device voxelization (host-GT mode).
   """
   loss_fn = loss_fn_for_task(task_type)
+  if mesh is not None:
+    # Keep the Pallas fast paths on this mesh: under pure data
+    # parallelism the kernels shard_map over 'data' instead of falling
+    # back to the XLA lowerings (parallel/kernel_sharding.py).
+    from corenet_tpu.parallel import kernel_sharding
+    kernel_sharding.register_mesh(mesh)
   vox_kwargs = dict(voxelization_kwargs or {})
   vox_kwargs.setdefault("resolution", tuple(resolution))
   # 'raster' = rasterize + flood fill (bit-parity with the reference GT

@@ -101,6 +101,35 @@ def box_filter3d(volume: np.ndarray, size: int) -> np.ndarray:
   return out
 
 
+def count_active_cells(volume: np.ndarray, level: float = 0.5,
+                       pad: bool = True) -> int:
+  """Number of sign-change cells `marching_tetrahedra` would visit.
+
+  An O(voxels) boolean pass with no per-triangle allocation: each active
+  cell emits ~2-6 triangles (at most 12), so callers can bound the
+  extraction size BEFORE paying for it — a near-noise PMF at 128³ can
+  otherwise transiently allocate tens of millions of sliver triangles
+  just to be discarded by a post-hoc cap."""
+  v = np.asarray(volume, np.float32)
+  assert v.ndim == 3
+  if pad:
+    fill = min(level - 1.0, float(v.min()) - 1.0)
+    v = np.pad(v, 1, constant_values=fill)
+  if min(v.shape) < 2:
+    return 0
+  above = v > level
+  c_any = np.zeros(tuple(s - 1 for s in v.shape), bool)
+  c_all = np.ones_like(c_any)
+  for dz in (0, 1):
+    for dy in (0, 1):
+      for dx in (0, 1):
+        corner = above[dz:dz + c_any.shape[0], dy:dy + c_any.shape[1],
+                       dx:dx + c_any.shape[2]]
+        c_any |= corner
+        c_all &= corner
+  return int((c_any & ~c_all).sum())
+
+
 def marching_tetrahedra(volume: np.ndarray, level: float = 0.5,
                         pad: bool = True) -> np.ndarray:
   """Extracts the `level` isosurface of float[D, H, W] as triangles.

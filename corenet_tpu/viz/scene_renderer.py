@@ -105,7 +105,12 @@ def render_scene(sc: Scene,
     uv = np.zeros((t, 3, 2), np.float32)
     tx = np.full((t,), -1, np.int32)
     if (has_textures and i < len(sc.texcoords) and sc.texcoords[i].size
-        and i < len(sc.material_ids)):
+        and i < len(sc.material_ids)
+        and len(sc.diffuse_texture_pngs[i]) > 0):
+      # The per-mesh texture-list guard keeps a texture-less mesh (with
+      # texcoords/material_ids present) on the color path: clipping its
+      # ids against an empty list would wrap offsets[i]-1 into ANOTHER
+      # mesh's texture layer.
       uv = np.asarray(sc.texcoords[i], np.float32)
       ids = np.clip(sc.material_ids[i], 0,
                     len(sc.diffuse_texture_pngs[i]) - 1)

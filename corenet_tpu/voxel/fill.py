@@ -43,10 +43,20 @@ def _gated_prefix_or(seed: jnp.ndarray, occupied_cumsum: jnp.ndarray,
   return empty & (r == c)
 
 
-def _outside_mask(empty: jnp.ndarray) -> jnp.ndarray:
+def _outside_mask(empty: jnp.ndarray,
+                  fill_rounds: int | None = None) -> jnp.ndarray:
   """Empty voxels 6-connected to the grid boundary through empty voxels.
 
   empty: bool[N, D, H, W]
+  fill_rounds: None runs the adaptive `while_loop` to the exact fixpoint.
+    An int runs exactly that many rounds as a static `fori_loop` — the
+    multi-process-safe mode: the adaptive cond's `jnp.any` over a sharded
+    grid is a per-iteration all-reduce with a data-dependent trip count,
+    which desyncs collective streams across processes when different
+    hosts' grids converge at different rounds. Each round resolves all
+    straight-line reachability, so the required count is the number of
+    TURNS in the winding-est cavity — real meshes need a handful
+    (production default: train/pipeline.py FILL_ROUNDS_STATIC).
   """
   n, d, h, w = empty.shape
 
@@ -77,6 +87,10 @@ def _outside_mask(empty: jnp.ndarray) -> jnp.ndarray:
             outside, cums[(axis, reverse)], empty, axis, reverse)
     return outside
 
+  if fill_rounds is not None:
+    return jax.lax.fori_loop(0, fill_rounds,
+                             lambda _, outside: round_fn(outside), seed)
+
   def cond(state):
     _, changed = state
     return changed
@@ -90,11 +104,14 @@ def _outside_mask(empty: jnp.ndarray) -> jnp.ndarray:
   return outside
 
 
-def fill_inside_voxels(grid: jnp.ndarray) -> jnp.ndarray:
+def fill_inside_voxels(grid: jnp.ndarray,
+                       fill_rounds: int | None = None) -> jnp.ndarray:
   """Fills interior empty regions of voxel grids.
 
   Args:
     grid: Voxel grids, numeric[N, D, H, W]; a voxel is occupied iff > 0.
+    fill_rounds: None = adaptive fixpoint; int = static round count (the
+      multi-process-safe mode — see _outside_mask).
 
   Returns:
     Binary grids in the input dtype: 1 where occupied or enclosed-empty,
@@ -102,5 +119,5 @@ def fill_inside_voxels(grid: jnp.ndarray) -> jnp.ndarray:
   """
   assert grid.ndim == 4
   empty = grid <= 0
-  outside = _outside_mask(empty)
+  outside = _outside_mask(empty, fill_rounds)
   return jnp.logical_not(outside).astype(grid.dtype)

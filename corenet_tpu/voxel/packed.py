@@ -141,11 +141,16 @@ def _sweep_z(r: jnp.ndarray, e: jnp.ndarray, up: bool) -> jnp.ndarray:
   return jnp.stack(words_r, axis=-1)
 
 
-def fill_inside_packed(packed: jnp.ndarray) -> jnp.ndarray:
+def fill_inside_packed(packed: jnp.ndarray,
+                       fill_rounds: int | None = None) -> jnp.ndarray:
   """Interior fill on a packed grid.
 
   Args:
     packed: u32[..., H, W, NW] occupancy bits.
+    fill_rounds: None = adaptive fixpoint (`while_loop`); int = exactly
+      that many rounds as a static `fori_loop` (the multi-process-safe
+      mode — see voxel/fill.py:_outside_mask; under shard_map the
+      adaptive cond is shard-local and safe either way).
 
   Returns:
     u32[..., H, W, NW]: bit = 1 where occupied or enclosed-empty.
@@ -174,6 +179,11 @@ def fill_inside_packed(packed: jnp.ndarray) -> jnp.ndarray:
       for down in (False, True):
         outside = outside | (e & _sweep_spatial(outside, e, axis, down))
     return outside
+
+  if fill_rounds is not None:
+    outside = jax.lax.fori_loop(0, fill_rounds,
+                                lambda _, o: round_fn(o), seed)
+    return ~outside
 
   def cond(state):
     return state[1]

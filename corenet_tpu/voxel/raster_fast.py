@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from corenet_tpu.ops.block_scatter import block_scatter_or
+from corenet_tpu.parallel import kernel_sharding
 from corenet_tpu.voxel.packed import fill_inside_packed, unpack_grid
 from corenet_tpu.voxel.voxelize import _PLANE_AXES, _dominant_axis, _edge
 
@@ -53,14 +54,24 @@ UV_CELLS = 4
 def blocked_eligible(*, resolution, sub_grid_sampling,
                      image_resolution_multiplier,
                      projection_depth_multiplier,
-                     max_bbox_pixels) -> bool:
+                     max_bbox_pixels, batch=None) -> bool:
   d, h, w = resolution
   irm = image_resolution_multiplier
-  # On a multi-device TPU mesh the compiled Pallas scatter has no SPMD
-  # partitioning rules; the general (pure-XLA) voxelizer partitions
-  # automatically, so the blocked path is single-chip TPU (or any
-  # interpret-mode backend) only.
-  if jax.default_backend() == "tpu" and jax.device_count() > 1:
+  # On a multi-device TPU mesh the compiled Pallas scatter needs the
+  # shard_map route over a registered pure-data mesh
+  # (parallel/kernel_sharding.py — each device voxelizes its local batch
+  # shard); without one, the general (pure-XLA) voxelizer partitions
+  # automatically, so fall back to it. Interpret-mode backends (the CPU
+  # test mesh) partition the emulated kernel either way.
+  if (jax.default_backend() == "tpu" and jax.device_count() > 1
+      and not isinstance(kernel_sharding.kernel_mode(batch),
+                         jax.sharding.Mesh)):
+    return False
+  # Compiled Mosaic needs the packed grid's minor dim (w * d/32 lanes)
+  # 128-aligned: d >= 64. At 32³ (lanes = 32, "unsupported unaligned
+  # shape") the general path is used — the only 32³ production config
+  # (y1) is sub-grid-sampled and thus ineligible anyway.
+  if jax.default_backend() == "tpu" and d * (d // 32) < 128:
     return False
   return (d == h == w and d % 32 == 0 and d >= 32
           and not sub_grid_sampling
@@ -276,72 +287,81 @@ def _phase_a(triangles: jnp.ndarray,      # f32[T, 3, 3]
   return origins, pw
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_meshes", "resolution",
-                     "image_resolution_multiplier",
-                     "conservative_rasterization", "fill_inside",
-                     "merge_duplicates"))
 def voxelize_blocked_packed(
     triangles: jnp.ndarray,          # f32[B, T, 3, 3]
     tri_mesh_slot: jnp.ndarray,      # i32[B, T]
     view2voxel: jnp.ndarray,         # f32[B, M, 4, 4]
     tri_valid: jnp.ndarray,          # bool[B, T]
+    **kwargs,
+) -> jnp.ndarray:
+  """Batched blocked voxelization. Returns packed u32[B, M, H, W, NW].
+
+  On a multi-device pure-data mesh the whole computation (phase A,
+  scatter kernel, packed fill) runs per batch shard under shard_map —
+  each device voxelizes its local scenes with no cross-device traffic,
+  and the fill's adaptive while_loop is shard-local (no collectives in
+  its cond, so no multi-host stream-desync hazard on this path).
+
+  Duplicate-origin merging happens inside the scatter kernel (VMEM run
+  accumulation, ops/block_scatter.py). An XLA-side log-doubling
+  pre-merge pass was A/B'd in round 2 and removed: it cost ~21 ms/step
+  at 12k tris and the kernel merge subsumes it at zero extra passes.
+  """
+  # The shard mesh is resolved OUTSIDE the jitted impl and passed as a
+  # static argument: the kernel_sharding registry is process-global
+  # mutable state, and baking it into a module-level jit's trace without
+  # keying on it would serve stale executables after a re-registration.
+  kernel_sharding.trace_counters["block_scatter"] += 1
+  mode = kernel_sharding.kernel_mode(triangles.shape[0])
+  shard_mesh = mode if isinstance(mode, jax.sharding.Mesh) else None
+  return _voxelize_blocked_packed(triangles, tri_mesh_slot, view2voxel,
+                                  tri_valid, shard_mesh=shard_mesh,
+                                  **kwargs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_meshes", "resolution",
+                     "image_resolution_multiplier",
+                     "conservative_rasterization", "fill_inside",
+                     "fill_rounds", "shard_mesh"))
+def _voxelize_blocked_packed(
+    triangles: jnp.ndarray,
+    tri_mesh_slot: jnp.ndarray,
+    view2voxel: jnp.ndarray,
+    tri_valid: jnp.ndarray,
     *,
     num_meshes: int,
     resolution: Tuple[int, int, int],
     image_resolution_multiplier: int = 8,
     conservative_rasterization: bool = False,
     fill_inside: bool = True,
-    merge_duplicates: bool = False,
+    fill_rounds=None,
+    shard_mesh=None,
 ) -> jnp.ndarray:
-  """Batched blocked voxelization. Returns packed u32[B, M, H, W, NW]."""
   d, h, w = resolution
   assert d == h == w and d % 32 == 0
   m = d
   nw = m // 32
   irm = int(image_resolution_multiplier)
 
-  origins, pw = jax.vmap(functools.partial(
-      _phase_a, m=m, irm=irm,
-      conservative=conservative_rasterization))(
-          triangles, tri_mesh_slot, view2voxel, tri_valid)
+  def core(triangles, tri_mesh_slot, view2voxel, tri_valid):
+    origins, pw = jax.vmap(functools.partial(
+        _phase_a, m=m, irm=irm,
+        conservative=conservative_rasterization))(
+            triangles, tri_mesh_slot, view2voxel, tri_valid)
 
-  if merge_duplicates:
-    # XLA-side duplicate-run merge. OFF by default: the scatter kernel
-    # now accumulates equal-origin runs in VMEM itself (ops/
-    # block_scatter.py), which subsumes this phase at zero extra passes
-    # — the log-doubling below cost ~21 ms/step at 12k tris (profiled).
-    # Kept for A/B comparison; correct in combination with the kernel
-    # merge (the OR-scatter is idempotent).
-    # Segmented gated OR via manual log-doubling — lax.associative_scan
-    # lowers poorly on TPU (measured ~12x slower than these shifts).
-    t = origins.shape[1]
-    prev = jnp.pad(origins[:, :-1], ((0, 0), (1, 0)), constant_values=-2)
-    same = (origins == prev) & (origins >= 0)
-    run = pw
-    f = same
-    shift = 1
-    while shift < t:
-      def sh(x, fill=False):
-        pads = [(0, 0)] * x.ndim
-        pads[1] = (shift, 0)
-        sl = [slice(None)] * x.ndim
-        sl[1] = slice(0, t)
-        return jnp.pad(x, pads, constant_values=fill)[tuple(sl)]
-      run = run | jnp.where(f[..., None, None], sh(run), jnp.uint32(0))
-      f = f & sh(f)
-      shift *= 2
-    pw = run
-    next_same = jnp.pad(same[:, 1:], ((0, 0), (0, 1)),
-                        constant_values=False)
-    origins = jnp.where(next_same, jnp.int32(-1), origins)
+    packed = block_scatter_or(origins, pw, meshes=num_meshes, h=m, w=m,
+                              nw=nw)
+    packed = packed.reshape(packed.shape[:-1] + (m, nw))
+    if fill_inside:
+      packed = fill_inside_packed(packed, fill_rounds=fill_rounds)
+    return packed
 
-  packed = block_scatter_or(origins, pw, meshes=num_meshes, h=m, w=m, nw=nw)
-  packed = packed.reshape(packed.shape[:-1] + (m, nw))
-  if fill_inside:
-    packed = fill_inside_packed(packed)
-  return packed
+  if shard_mesh is not None:
+    return kernel_sharding.map_over_data(core, shard_mesh, n_in=4)(
+        triangles, tri_mesh_slot, view2voxel, tri_valid)
+  return core(triangles, tri_mesh_slot, view2voxel, tri_valid)
 
 
 def voxelize_blocked(triangles, tri_mesh_slot, view2voxel, tri_valid,

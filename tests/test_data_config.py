@@ -159,3 +159,21 @@ def test_post_process_config_full_chain():
   assert tp.output_path == "/r/out"
   assert tp.train.data.voxelization_config.resolution.as_tuple() == (128,) * 3
   assert tp.train.data.voxelization_config.task_type == TaskType.FG_BG
+
+
+def test_generated_configs_match_checked_in(tmp_path):
+  """configs/ is generator output — the generator is the source of truth
+  for the reproduction values (reference generate_configs.py), so any
+  scaffolding refactor or config-field change must regenerate it."""
+  import filecmp
+  import os
+  from corenet_tpu.cli import generate_configs
+  generate_configs.main(["--output_dir", str(tmp_path)])
+  repo_configs = os.path.join(os.path.dirname(__file__), "..", "configs")
+  for sub in ("models", "paper_tf_models", "schemas"):
+    ref_dir = os.path.join(repo_configs, sub)
+    names = sorted(os.listdir(ref_dir))
+    assert names == sorted(os.listdir(tmp_path / sub))
+    _, mismatch, errors = filecmp.cmpfiles(
+        ref_dir, tmp_path / sub, names, shallow=False)
+    assert not mismatch and not errors, (sub, mismatch, errors)

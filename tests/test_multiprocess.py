@@ -97,13 +97,23 @@ _TRAIN_WORKER = textwrap.dedent("""
           jnp.full((1, 3), 0.5), train=False))()
       state = state_lib.create_train_state(variables, optimizer)
       state = mesh_lib.replicate_tree(mesh, state)
-      # Parity GT: its collective schedule is static. The raster GT's
-      # interior-fill while_loop has a data-dependent trip count whose
-      # per-round 1-byte cond all-reduce desynchronizes Gloo's stream
-      # pairing on the CPU backend (TPU orders collectives correctly).
+      gt_mode = sys.argv[3]
+      if gt_mode == "parity":
+        # Parity GT: its collective schedule is inherently static.
+        vox = dict(algorithm="parity")
+      else:
+        # Raster GT (the production default) with a STATIC fill round
+        # count: the adaptive fill's while_loop cond is a per-round
+        # 1-byte all-reduce with a data-dependent trip count, which
+        # desynchronizes Gloo's stream pairing across processes (the
+        # multi-host hazard class of VERDICT r2 #4). fill_rounds
+        # staticizes the collective schedule — TrainPipeline sets it
+        # automatically when process_count > 1.
+        vox = dict(algorithm="raster", image_resolution_multiplier=2,
+                   max_bbox_pixels=24, fill_rounds=6)
       step = make_train_step(
           model, optimizer, "FG_BG", resolution,
-          voxelization_kwargs=dict(algorithm="parity"),
+          voxelization_kwargs=vox,
           donate=False, mesh=mesh)
       full = _example_inputs(2, 64, resolution)
       local = {k: v[pid:pid + 1] for k, v in full.items()}
@@ -129,7 +139,8 @@ _TRAIN_WORKER = textwrap.dedent("""
 
 
 @pytest.mark.slow
-def test_two_process_train_step_matches_single(tmp_path):
+@pytest.mark.parametrize("gt_mode", ["parity", "raster"])
+def test_two_process_train_step_matches_single(tmp_path, gt_mode):
   # Single-process expected loss on the concatenated batch. Uses a
   # 2-device mesh — the IDENTICAL program the workers run — so this
   # compile populates the persistent cache and the workers (which race a
@@ -156,9 +167,12 @@ def test_two_process_train_step_matches_single(tmp_path):
         jnp.full((1, 3), 0.5), train=False))()
     state = state_lib.create_train_state(variables, optimizer)
     state = mesh_lib.replicate_tree(mesh, state)
+    vox = (dict(algorithm="parity") if gt_mode == "parity"
+           else dict(algorithm="raster", image_resolution_multiplier=2,
+                     max_bbox_pixels=24, fill_rounds=6))
     step = make_train_step(
         model, optimizer, "FG_BG", resolution,
-        voxelization_kwargs=dict(algorithm="parity"),
+        voxelization_kwargs=vox,
         donate=False, mesh=mesh)
     batch = mesh_lib.shard_batch(mesh, _example_inputs(2, 64, resolution))
     _, metrics = step(state, batch)
@@ -168,13 +182,14 @@ def test_two_process_train_step_matches_single(tmp_path):
   expected_file.write_text(repr(expected))
 
   repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-  port = 19743
+  port = 19743 if gt_mode == "parity" else 19745
   script = tmp_path / "train_worker.py"
   script.write_text(_TRAIN_WORKER % (repo, port))
   env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
   env.pop("XLA_FLAGS", None)
   procs = [subprocess.Popen(
-      [sys.executable, str(script), str(i), str(expected_file)], env=env,
+      [sys.executable, str(script), str(i), str(expected_file), gt_mode],
+      env=env,
       stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
       for i in range(2)]
   outs = [p.communicate(timeout=1200)[0].decode() for p in procs]
