@@ -51,7 +51,7 @@ def _two_scene_batch():
 def test_overfit_two_scenes_raster_gt():
   model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
       resolution=RESOLUTION, num_output_channels=2)))
-  optimizer = state_lib.create_optimizer(initial_learning_rate=1e-3)
+  optimizer = state_lib.create_optimizer(learning_rate=1e-3)
   batch = {k: jnp.asarray(v) for k, v in _two_scene_batch().items()}
 
   variables = jax.jit(lambda: model.init(

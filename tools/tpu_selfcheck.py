@@ -54,7 +54,11 @@ def run_checks():
           file=sys.stderr)
 
   # --- skip_gather: forward bit-exact, backward parity -------------------
-  b, h2, w2, c = 2, 130, 130, 12
+  # Production shape: the 256² image's stride-4 feature map is 64² (+2
+  # pad = 66) and the hot skip gathers 64³ voxels. (Larger maps can
+  # exceed the bwd kernel's VMEM accumulator block — h2p jumps from 128
+  # to 256 — which no production config reaches.)
+  b, h2, w2, c = 2, 66, 66, 12
   n = 64 * 64 * 64
   fmap = jnp.asarray(rng.randn(b, h2, w2, c).astype(np.float32))
   px = jnp.asarray(rng.randint(0, w2, (b, n)), jnp.int32)
@@ -101,9 +105,16 @@ def run_checks():
          f"loss_rel={lerr:.2e} grad_abs={gerr:.2e}")
 
   # --- blocked raster GT vs general voxelizer ---------------------------
+  # The blocked path's 8³-block contract requires subdivided triangles
+  # (the production pipeline enforces this): pre-count the subdivision.
+  from corenet_tpu.data.batching import subdivide_triangles
   res = (64, 64, 64)
-  inp = _example_inputs(2, 64, res, num_tri=64, num_mesh=2,
-                        max_edge_view=(24 - 4) / 8 / 64)
+  max_edge = (24 - 4) / 8 / 64
+  cube = _example_inputs(1, 8, res, num_tri=16,
+                         num_mesh=1)["triangles"][0][:12]
+  count = subdivide_triangles(np.asarray(cube), max_edge).shape[0]
+  inp = _example_inputs(2, 64, res, num_tri=count, num_mesh=2,
+                        max_edge_view=max_edge)
   args = [jnp.asarray(inp[k]) for k in
           ("triangles", "tri_mesh_slot", "tri_valid", "mesh_labels",
            "grid_offset")]
