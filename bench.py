@@ -106,6 +106,68 @@ def _scene_inputs(batch, image_size, resolution, num_tri, num_mesh,
                          max_edge_view=max_edge)
 
 
+def _cost_only_subprocess(**kwargs):
+  """Analytic step FLOPs from a CPU lowering (subprocess so the forced
+  CPU platform cannot leak into the TPU-attached parent)."""
+  import json as _json
+  import os
+  import subprocess
+  import sys as _sys
+  args = [_sys.executable, os.path.abspath(__file__), "--cost-only",
+          "--gt", kwargs["gt"], "--tris", str(kwargs["tris"]),
+          "--batch", str(kwargs["batch"]),
+          "--image_size", str(kwargs["image_size"])]
+  if not kwargs["packed"]:
+    args.append("--no-packed")
+  if kwargs["phase"]:
+    args.append("--phase")
+  try:
+    out = subprocess.run(args, capture_output=True, timeout=900)
+    flops = _json.loads(out.stdout.decode().strip().splitlines()[-1])["flops"]
+    return float(flops) or None
+  except Exception as e:
+    log(f"[bench] cost-only subprocess failed: {e}")
+    return None
+
+
+def cost_only(*, gt, tris, batch, image_size, packed, phase):
+  """Lowers the identical step on CPU and prints {'flops': N}."""
+  import jax
+  jax.config.update("jax_platforms", "cpu")
+  import jax.numpy as jnp
+  from corenet_tpu.models.corenet import CoreNet, CoreNetConfig, DecoderConfig
+  from corenet_tpu.train import state as state_lib
+  from corenet_tpu.train.step import make_train_step
+
+  resolution = (128, 128, 128)
+  model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
+      resolution=resolution, num_output_channels=2)),
+      compute_dtype=jnp.bfloat16, packed_decoder=packed,
+      phase_output=packed or phase)
+  optimizer = state_lib.create_optimizer()
+  if gt == "parity":
+    vox_kwargs = dict(algorithm="parity")
+    required_max_edge = None
+  else:
+    irm, window = 8, 24
+    vox_kwargs = dict(algorithm="raster", image_resolution_multiplier=irm,
+                      max_bbox_pixels=window)
+    required_max_edge = (window - 4) / irm / max(resolution)
+  inputs = _scene_inputs(batch, image_size, resolution, tris, num_mesh=1,
+                         required_max_edge=required_max_edge)
+  inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+  variables = jax.eval_shape(lambda: model.init(
+      jax.random.PRNGKey(0), inputs["image"][:1], jnp.eye(4)[None],
+      jnp.full((1, 3), 0.5), train=False))
+  variables = jax.tree_util.tree_map(
+      lambda s: jnp.zeros(s.shape, s.dtype), variables)
+  state = state_lib.create_train_state(variables, optimizer)
+  step = make_train_step(model, optimizer, "FG_BG", resolution,
+                         voxelization_kwargs=vox_kwargs, donate=False)
+  cost = step.lower(state, inputs).cost_analysis() or {}
+  print(json.dumps({"flops": float(cost.get("flops", 0.0))}))
+
+
 def run_variant(*, gt, tris, batch, image_size, windows, steps, warmup,
                 profile_dir=None, packed=False, phase=False):
   import os
@@ -173,10 +235,16 @@ def run_variant(*, gt, tris, batch, image_size, windows, steps, warmup,
     try:
       # Pre-optimization HLO cost analysis: the analytic FLOPs of the
       # step (matmul/conv dominated — optimization barely moves it), at
-      # no backend-compile cost.
+      # no backend-compile cost. The axon TPU plugin returns no cost
+      # model, so when it comes back empty the FLOPs are computed from
+      # an equivalent CPU lowering in a subprocess (--cost-only).
       cost = train_step.lower(state, batch_on_mesh).cost_analysis()
       if cost and cost.get("flops", 0) > 0:
         flops_per_step = float(cost["flops"])
+      else:
+        flops_per_step = _cost_only_subprocess(
+            gt=gt, tris=tris, batch=batch, image_size=image_size,
+            packed=packed, phase=phase)
     except Exception as e:  # cost analysis is best-effort diagnostics
       log(f"[bench] cost analysis unavailable: {e}")
     state, metrics = train_step(state, batch_on_mesh)
@@ -251,7 +319,16 @@ def main():
   p.add_argument("--suite", action="store_true",
                  help="run the diagnostic variant suite (results on stderr)"
                       " before the headline measurement")
+  p.add_argument("--cost-only", action="store_true",
+                 help="print the step's analytic FLOPs from a CPU "
+                      "lowering and exit (used internally for MFU)")
   args = p.parse_args()
+
+  if args.cost_only:
+    cost_only(gt=args.gt, tris=args.tris, batch=args.batch,
+              image_size=args.image_size, packed=args.packed,
+              phase=args.phase)
+    return
 
   if args.suite:
     for gt, tris in [("raster", 16), ("raster", 25000),

@@ -46,6 +46,16 @@ from corenet_tpu.parallel import kernel_sharding
 TILE_N = 512
 
 
+def _channel_onehot(h2p, c, dt):
+  """E[l, c'] = (l // h2p == c'): contracting with it on l sums each
+  channel's single unmasked lane group — an MXU-side "transpose+reduce"
+  that lets the kernels produce/consume voxel-major [TN, C] directly
+  (the C-major orientation previously cost a full-size XLA relayout of
+  every skip tensor, ~5 ms/step in the packed 128³ train step)."""
+  return (jax.lax.broadcasted_iota(jnp.int32, (c * h2p, c), 0) // h2p ==
+          jax.lax.broadcasted_iota(jnp.int32, (c * h2p, c), 1)).astype(dt)
+
+
 def _fwd_kernel(px_ref, py_ref, fmap_ref, out_ref, *, h2p, c):
   w2 = fmap_ref.shape[2]
   tn = px_ref.shape[1]
@@ -63,8 +73,13 @@ def _fwd_kernel(px_ref, py_ref, fmap_ref, out_ref, *, h2p, c):
       preferred_element_type=jnp.float32)  # (C*H2p, TN)
   rowmask = (jax.lax.broadcasted_iota(jnp.int32, (c * h2p, tn), 0)
              % h2p == u)
-  masked = jnp.where(rowmask, m, 0.0)
-  out_ref[0] = masked.reshape(c, h2p, tn).sum(axis=1).astype(out_ref.dtype)
+  masked = jnp.where(rowmask, m, 0.0).astype(dt)
+  # (TN, C) via one-hot contraction over l — exactly one nonzero per
+  # output element, so still bit-exact.
+  out_ref[0] = jax.lax.dot_general(
+      masked, _channel_onehot(h2p, c, dt), (((0,), (0,)), ((), ())),
+      precision=prec,
+      preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _bwd_kernel(px_ref, py_ref, dout_ref, dfmap_ref, *, h2p, c):
@@ -77,10 +92,14 @@ def _bwd_kernel(px_ref, py_ref, dout_ref, dfmap_ref, *, h2p, c):
   colhot_t = (jax.lax.broadcasted_iota(jnp.int32, (w2, tn), 0) == v)
   rowmask = (jax.lax.broadcasted_iota(jnp.int32, (c * h2p, tn), 0)
              % h2p == u)
-  dexp = jnp.broadcast_to(dout_ref[0].reshape(c, 1, tn),
-                          (c, h2p, tn)).reshape(c * h2p, tn)
-  d = jnp.where(rowmask, dexp, jnp.zeros((), dt))
   prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+  # dout arrives voxel-major (TN, C); expand to (C*H2p, TN) rows via the
+  # one-hot contraction (one nonzero per element — exact).
+  dexp = jax.lax.dot_general(
+      _channel_onehot(h2p, c, dt), dout_ref[0], (((1,), (1,)), ((), ())),
+      precision=prec,
+      preferred_element_type=jnp.float32).astype(dt)
+  d = jnp.where(rowmask, dexp, jnp.zeros((), dt))
   contrib = jax.lax.dot_general(
       d, colhot_t.astype(dt), (((1,), (1,)), ((), ())),
       precision=prec,
@@ -107,8 +126,8 @@ def _make(b, n, w2, h2p, c, dt_name, interpret):
           pl.BlockSpec((b, TILE_N), lambda i, j: (0, j)),
           pl.BlockSpec((1, c * h2p, w2), lambda i, j: (i, 0, 0)),
       ],
-      out_specs=pl.BlockSpec((1, c, TILE_N), lambda i, j: (i, 0, j)),
-      out_shape=jax.ShapeDtypeStruct((b, c, n), dt),
+      out_specs=pl.BlockSpec((1, TILE_N, c), lambda i, j: (i, j, 0)),
+      out_shape=jax.ShapeDtypeStruct((b, n, c), dt),
       interpret=interpret)
   bwd_call = pl.pallas_call(
       functools.partial(_bwd_kernel, h2p=h2p, c=c),
@@ -116,7 +135,7 @@ def _make(b, n, w2, h2p, c, dt_name, interpret):
       in_specs=[
           pl.BlockSpec((b, TILE_N), lambda i, j: (0, j)),
           pl.BlockSpec((b, TILE_N), lambda i, j: (0, j)),
-          pl.BlockSpec((1, c, TILE_N), lambda i, j: (i, 0, j)),
+          pl.BlockSpec((1, TILE_N, c), lambda i, j: (i, j, 0)),
       ],
       out_specs=pl.BlockSpec((1, c * h2p, w2), lambda i, j: (i, 0, 0)),
       out_shape=jax.ShapeDtypeStruct((b, c * h2p, w2), jnp.float32),
@@ -154,10 +173,10 @@ def _gather_local(fmap_padded, px, py, *, interpret):
     py = jnp.pad(py, ((0, 0), (0, pad_n)))
   gather = _make(b, n + pad_n, w2, h2p, c, fmap_padded.dtype.name,
                  interpret)
-  out_t = gather(fmapx, px.astype(jnp.int32), py.astype(jnp.int32))
+  out = gather(fmapx, px.astype(jnp.int32), py.astype(jnp.int32))
   if pad_n:
-    out_t = out_t[:, :, :n]
-  return jnp.transpose(out_t, (0, 2, 1))
+    out = out[:, :n, :]
+  return out
 
 
 def skip_gather(fmap_padded: jnp.ndarray,   # [B, H2, W2, C] float

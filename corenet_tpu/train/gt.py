@@ -103,16 +103,21 @@ def _blocked_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
   ], axis=1)  # [B, 4, 4]
   view2voxel = jnp.broadcast_to(w2x[:, None], (b, num_mesh_slots, 4, 4))
 
+  # uint8 end to end: the label values fit a byte (<=255 classes), and
+  # every fine-resolution pass after the bit-packed voxelization (label
+  # multiply, mesh max, the phase-loss permutation in train/step.py)
+  # then moves 1/4 of the bytes the old f32/int32 chain did.
   mesh_grids = raster_fast.voxelize_blocked(
       triangles, tri_mesh_slot, view2voxel, tri_valid,
       num_meshes=num_mesh_slots, resolution=tuple(resolution),
       image_resolution_multiplier=int(image_resolution_multiplier),
       conservative_rasterization=conservative_rasterization,
       fill_inside=fill_inside,
-      fill_rounds=fill_rounds)  # f32[B, M, D, H, W]
-  labeled = mesh_grids * mesh_labels.astype(jnp.float32)[:, :, None, None,
-                                                         None]
-  return jnp.max(labeled, axis=1).astype(jnp.int32)
+      fill_rounds=fill_rounds,
+      dtype=jnp.uint8)  # u8[B, M, D, H, W]
+  labeled = mesh_grids * mesh_labels.astype(jnp.uint8)[:, :, None, None,
+                                                       None]
+  return jnp.max(labeled, axis=1)
 
 
 def voxelize_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,

@@ -365,8 +365,8 @@ def _voxelize_blocked_packed(
 
 
 def voxelize_blocked(triangles, tri_mesh_slot, view2voxel, tri_valid,
-                     **kwargs) -> jnp.ndarray:
-  """Like voxelize_blocked_packed but returns float32[B, M, D, H, W]."""
+                     dtype=jnp.float32, **kwargs) -> jnp.ndarray:
+  """Like voxelize_blocked_packed but returns dtype[B, M, D, H, W]."""
   packed = voxelize_blocked_packed(triangles, tri_mesh_slot, view2voxel,
                                    tri_valid, **kwargs)
-  return unpack_grid(packed)
+  return unpack_grid(packed, dtype=dtype)
