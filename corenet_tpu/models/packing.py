@@ -30,6 +30,8 @@ unpacked decoder and gradients flow to the same tree.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -84,6 +86,76 @@ def take_static(x: jnp.ndarray, idx, axis: int) -> jnp.ndarray:
   return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
 
 
+def _onehot_matmul(kernel: jnp.ndarray, flatw: np.ndarray,
+                   valid: np.ndarray) -> jnp.ndarray:
+  """Joint kernel expansion as ONE static 0/1 matmul.
+
+  The packed kernels are static gathers of the fine kernel. Emitting
+  them as per-axis slice/mask/transpose chains re-runs ~17 ms/step of
+  XLA data formatting (the weights change every step); as a matmul
+  against a precomputed one-hot matrix the whole expansion is ~1 G MACs
+  on the MXU plus one regular middle-axis transpose, and its VJP is the
+  transposed matmul (exact: one nonzero per row).
+
+  Args:
+    kernel: fine [k, k, k, cin, cout].
+    flatw: [rows] int — flattened (w0*k + w1)*k + w2 fine index per
+      packed row (clipped in-range; masked by `valid`).
+    valid: [rows] bool — False rows become zeros.
+  Returns: [rows, cin, cout].
+  """
+  k = kernel.shape[0]
+  cin, cout = kernel.shape[3], kernel.shape[4]
+  m = np.zeros((flatw.size, k ** 3), dtype=np.float32)
+  m[np.arange(flatw.size), flatw] = valid
+  prec = (jax.lax.Precision.HIGHEST if kernel.dtype == jnp.float32
+          else None)
+  packed = jnp.dot(jnp.asarray(m, kernel.dtype),
+                   kernel.reshape(k ** 3, cin * cout), precision=prec)
+  return packed.reshape(flatw.size, cin, cout)
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_rows(k: int, p: int, dj_lo: int, taps: int):
+  """Row index/validity for packed_conv, rows ordered
+  (t0,t1,t2, a0,a1,a2, r0,r1,r2) so phase blocks land contiguously."""
+  t = np.arange(taps)
+  ph = np.arange(2)
+  t0, t1, t2, a0, a1, a2, r0, r1, r2 = np.meshgrid(
+      t, t, t, ph, ph, ph, ph, ph, ph, indexing="ij")
+
+  def w(tt, aa, rr):
+    return 2 * (dj_lo + tt) + aa - rr + p
+
+  w0, w1, w2 = w(t0, a0, r0), w(t1, a1, r1), w(t2, a2, r2)
+  valid = ((w0 >= 0) & (w0 < k) & (w1 >= 0) & (w1 < k)
+           & (w2 >= 0) & (w2 < k))
+  flatw = ((np.clip(w0, 0, k - 1) * k + np.clip(w1, 0, k - 1)) * k
+           + np.clip(w2, 0, k - 1))
+  return flatw.reshape(-1), valid.reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_transpose_rows(k: int, p: int, dj_lo: int, taps: int):
+  """Row index/validity for packed_conv_transpose, rows ordered
+  (t0,t1,t2, a0,a1,a2, rm0,rm1,rm2, c0,c1,c2)."""
+  t = np.arange(taps)
+  ph = np.arange(2)
+  (t0, t1, t2, a0, a1, a2, rm0, rm1, rm2,
+   c0, c1, c2) = np.meshgrid(t, t, t, ph, ph, ph, ph, ph, ph,
+                             ph, ph, ph, indexing="ij")
+
+  def w(tt, aa, rr, cc):
+    return p + cc - 4 * (dj_lo + tt) - 2 * aa + 2 * rr
+
+  w0, w1, w2 = w(t0, a0, rm0, c0), w(t1, a1, rm1, c1), w(t2, a2, rm2, c2)
+  valid = ((w0 >= 0) & (w0 < k) & (w1 >= 0) & (w1 < k)
+           & (w2 >= 0) & (w2 < k))
+  flatw = ((np.clip(w0, 0, k - 1) * k + np.clip(w1, 0, k - 1)) * k
+           + np.clip(w2, 0, k - 1))
+  return flatw.reshape(-1), valid.reshape(-1)
+
+
 def packed_conv(x_packed: jnp.ndarray, kernel: jnp.ndarray,
                 padding: int) -> jnp.ndarray:
   """Stride-1 'SAME-ish' conv on packed activations.
@@ -102,26 +174,13 @@ def packed_conv(x_packed: jnp.ndarray, kernel: jnp.ndarray,
   dj_lo, dj_hi = _axis_plan_conv(k, p)
   taps = dj_hi - dj_lo + 1
 
-  # Build the packed kernel by gathering the fine kernel per axis:
-  # axes become (tap dJ, input phase a, output phase r).
-  kk = kernel
-  for axis in reversed(range(3)):
-    # index[t, a, r] = 2(dj_lo + t) + a − r + p
-    t_idx = np.arange(taps)
-    idx = (2 * (dj_lo + t_idx)[:, None, None] +
-           np.arange(2)[None, :, None] - np.arange(2)[None, None, :] + p)
-    valid = (idx >= 0) & (idx < k)
-    gathered = take_static(kk, np.clip(idx, 0, k - 1), axis)
-    new_shape = kk.shape[:axis] + (taps, 2, 2) + kk.shape[axis + 1:]
-    gathered = gathered.reshape(new_shape)
-    mask_shape = [1] * len(new_shape)
-    mask_shape[axis:axis + 3] = [taps, 2, 2]
-    kk = gathered * jnp.asarray(valid, kk.dtype).reshape(mask_shape)
-
-  # kk axes: [t0, a0, r0, t1, a1, r1, t2, a2, r2, ci, co]
-  # → [t0, t1, t2, (a0, a1, a2, ci), (r0, r1, r2, co)]
-  kk = jnp.transpose(kk, (0, 3, 6, 1, 4, 7, 2, 5, 8, 9, 10))
-  kk = jnp.transpose(kk, (0, 1, 2, 3, 4, 5, 9, 6, 7, 8, 10))
+  # One-hot matmul expansion (see _onehot_matmul); rows ordered
+  # (t0,t1,t2, a0,a1,a2, r0,r1,r2) so only ONE middle-axis transpose
+  # interleaves ci into the input-phase block.
+  flatw, valid = _conv_rows(k, p, dj_lo, taps)
+  kk = _onehot_matmul(kernel, flatw, valid)
+  kk = kk.reshape(taps, taps, taps, 8, 8, cin, cout)
+  kk = jnp.transpose(kk, (0, 1, 2, 3, 5, 4, 6))
   kk = kk.reshape(taps, taps, taps, 8 * cin, 8 * cout)
 
   out = jax.lax.conv_general_dilated(
@@ -163,30 +222,14 @@ def packed_conv_transpose(x_packed: jnp.ndarray, kernel: jnp.ndarray,
   dj_lo, dj_hi = min(los), max(his)
   taps = dj_hi - dj_lo + 1
 
-  kk = kernel
-  for axis in reversed(range(3)):
-    # index[t, a, rm, c] = p + c − 4(dj_lo + t) − 2a + 2rm
-    t_idx = np.arange(taps)
-    idx = (p + np.arange(2)[None, None, None, :]
-           - 4 * (dj_lo + t_idx)[:, None, None, None]
-           - 2 * np.arange(2)[None, :, None, None]
-           + 2 * np.arange(2)[None, None, :, None])
-    valid = (idx >= 0) & (idx < k)
-    gathered = take_static(kk, np.clip(idx, 0, k - 1), axis)
-    new_shape = kk.shape[:axis] + (taps, 2, 2, 2) + kk.shape[axis + 1:]
-    gathered = gathered.reshape(new_shape)
-    mask_shape = [1] * len(new_shape)
-    mask_shape[axis:axis + 4] = [taps, 2, 2, 2]
-    kk = gathered * jnp.asarray(valid, kk.dtype).reshape(mask_shape)
-
-  # kk axes per dim: (t, a, rm, c); overall:
-  # [t0, a0, rm0, c0, t1, a1, rm1, c1, t2, a2, rm2, c2, ci, co]
-  # → [t0, t1, t2, (a0 a1 a2 ci), (rm0 rm1 rm2, c0 c1 c2, co)]
-  perm = (0, 4, 8,          # taps
-          1, 5, 9, 12,      # input phases + ci
-          2, 6, 10,         # rm (packed-space output phase)
-          3, 7, 11, 13)     # c (sub-phase) + co
-  kk = jnp.transpose(kk, perm)
+  # One-hot matmul expansion (see _onehot_matmul); rows ordered
+  # (t0,t1,t2, a0,a1,a2, rm0,rm1,rm2, c0,c1,c2) → the output-phase
+  # block is (rm, c) with co minor, and one middle-axis transpose
+  # interleaves ci into the input-phase block.
+  flatw, valid = _conv_transpose_rows(k, p, dj_lo, taps)
+  kk = _onehot_matmul(kernel, flatw, valid)
+  kk = kk.reshape(taps, taps, taps, 8, 64, cin, cout)
+  kk = jnp.transpose(kk, (0, 1, 2, 3, 5, 4, 6))
   kk = kk.reshape(taps, taps, taps, 8 * cin, 8 * 8 * cout)
 
   b = x_packed.shape[0]

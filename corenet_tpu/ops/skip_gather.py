@@ -9,24 +9,38 @@ this to a scalarized gather whose output bf16[B*D*H*W, C] tiles with C
 + 31.6 ms backward scatter-add per train step at 64^3, the two largest
 non-conv costs in the step.
 
-This kernel reformulates the gather so both directions run on the MXU:
+Forward, per TILE_N voxel block (voxel-major [TN, C] output, ONE
+matmul, no relayouts anywhere):
 
-  out[n, c] = fmap[u_n, v_n, c]
-            = sum_u sum_v rowhot[n, u] * colhot[n, v] * fmap[u, v, c]
+  * the feature map is pre-arranged [C*G, H2p] where G is W2 rounded up
+    to a multiple of 8 — each channel's image row in a sublane-aligned
+    group, image rows u in lanes;
+  * rowhot_t[u, n] = (u == py[n]) gathers whole image rows in one
+    full-K matmul: rows_t = fmapx @ rowhot_t -> [C*G, TN]
+    (K = H2p, a multiple of 128 — no contraction padding waste; the
+    output lane count C*G stays near C*W2, not C*128);
+  * the column select is one fused multiply-reduce over the free
+    sublane split [C, G, TN] (G % 8 == 0) with a [G, TN] one-hot of
+    px[n] broadcast over C, and the [C, TN] result is turned
+    voxel-major by the transpose unit.
+  Earlier variants measured on chip: C-major output (one matmul but a
+  ~6.7 ms/step XLA relayout chain on every skip tensor); a second
+  one-hot compaction matmul (doubles MXU work); a 128-lane group +
+  in-kernel lane-group reduce (the [TN, C, 128] reshape is a full
+  per-tile relayout, 2.5x slower than the matmul it replaced); a
+  full-width [TN, C*G] iota mask chain (~2x the matmul cost on the
+  VPU — the [G, TN] mask touches 1/C of the elements).
 
-Per TILE_N voxel block:
-  * colhot^T[v, n] = (v == px[n]) is built by a broadcasted-iota compare;
-  * M = fmapX @ colhot^T is ONE standard MXU matmul, where fmapX is the
-    feature map pre-arranged as [C*H2p, W2] (u padded into a 128-lane
-    group per channel);
-  * the row selection is a lane-iota mask + an aligned 128-lane reduce
-    (no relayouts: u lives in iota%128 space).
-Backward is dfmapX += D @ colhot^T^T with flash-attention-style
-((1,),(1,)) contraction dims, accumulated in the revisited output block
-— the scatter-add disappears.
+Backward consumes dout in the forward's own [B, N, C] layout (no XLA
+relayout), turns each [TN, C] tile C-major with the transpose unit,
+spreads channels over their lane groups against the same [G, TN]
+column one-hot (a free sublane broadcast + merge), and accumulates ONE
+matmul dfmap[(c,g), u] = dexp @ rowhot_t^T over voxel tiles — the
+scatter-add disappears.
 
-The one-hot products are exact (each sum has exactly one nonzero term),
-so the forward matches `jnp.take_along_axis` bit-for-bit.
+Every one-hot sum has exactly one nonzero term, so the forward matches
+`jnp.take_along_axis` bit-for-bit (bf16 values pass through f32
+accumulators and bf16 MXU operands losslessly).
 
 Compiled on TPU; interpret mode elsewhere (tests on the virtual CPU
 mesh), same convention as ops/block_scatter.py.
@@ -43,67 +57,57 @@ from jax.sharding import Mesh
 
 from corenet_tpu.parallel import kernel_sharding
 
-TILE_N = 512
+TILE_N = 2048
 
 
-def _channel_onehot(h2p, c, dt):
-  """E[l, c'] = (l // h2p == c'): contracting with it on l sums each
-  channel's single unmasked lane group — an MXU-side "transpose+reduce"
-  that lets the kernels produce/consume voxel-major [TN, C] directly
-  (the C-major orientation previously cost a full-size XLA relayout of
-  every skip tensor, ~5 ms/step in the packed 128³ train step)."""
-  return (jax.lax.broadcasted_iota(jnp.int32, (c * h2p, c), 0) // h2p ==
-          jax.lax.broadcasted_iota(jnp.int32, (c * h2p, c), 1)).astype(dt)
-
-
-def _fwd_kernel(px_ref, py_ref, fmap_ref, out_ref, *, h2p, c):
-  w2 = fmap_ref.shape[2]
+def _fwd_kernel(px_ref, py_ref, fmap_ref, out_ref, *, g, c):
   tn = px_ref.shape[1]
   dt = fmap_ref.dtype
   i = pl.program_id(0)
   v = px_ref[pl.ds(i, 1), :]  # (1, TN) i32
   u = py_ref[pl.ds(i, 1), :]  # (1, TN) i32
-  colhot_t = (jax.lax.broadcasted_iota(jnp.int32, (w2, tn), 0) == v)
+  h2p = fmap_ref.shape[2]
+  rowhot_t = (jax.lax.broadcasted_iota(jnp.int32, (h2p, tn), 0) == u)
   # bf16 MXU matmuls accumulate in f32 natively; HIGHEST is only legal
   # (and only needed) for genuine f32 operands.
   prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
-  m = jax.lax.dot_general(
-      fmap_ref[0], colhot_t.astype(dt), (((1,), (0,)), ((), ())),
+  rows_t = jax.lax.dot_general(
+      fmap_ref[0], rowhot_t.astype(dt), (((1,), (0,)), ((), ())),
       precision=prec,
-      preferred_element_type=jnp.float32)  # (C*H2p, TN)
-  rowmask = (jax.lax.broadcasted_iota(jnp.int32, (c * h2p, tn), 0)
-             % h2p == u)
-  masked = jnp.where(rowmask, m, 0.0).astype(dt)
-  # (TN, C) via one-hot contraction over l — exactly one nonzero per
-  # output element, so still bit-exact.
-  out_ref[0] = jax.lax.dot_general(
-      masked, _channel_onehot(h2p, c, dt), (((0,), (0,)), ((), ())),
-      precision=prec,
-      preferred_element_type=jnp.float32).astype(out_ref.dtype)
+      preferred_element_type=jnp.float32)  # (C*G, TN) f32
+  # Column select: one fused multiply-reduce over the sublane-split
+  # [C, G, TN] view (free: G % 8 == 0). A full-width [.., C*G] iota
+  # mask chain here measured ~2x the matmul cost; the [G, TN] mask +
+  # broadcast over C touches 1/C of the elements.
+  colmask = (jax.lax.broadcasted_iota(jnp.int32, (g, tn), 0) == v
+             ).astype(jnp.float32).reshape(1, g, tn)
+  picked = jnp.sum(rows_t.reshape(c, g, tn) * colmask, axis=1)  # (C, TN)
+  out_ref[0] = jnp.transpose(picked, (1, 0)).astype(out_ref.dtype)
 
 
-def _bwd_kernel(px_ref, py_ref, dout_ref, dfmap_ref, *, h2p, c):
-  w2 = dfmap_ref.shape[2]
+def _bwd_kernel(px_ref, py_ref, dout_ref, dfmap_ref, *, g, c):
+  h2p = dfmap_ref.shape[2]
   tn = px_ref.shape[1]
   dt = dout_ref.dtype
   i = pl.program_id(0)
-  v = px_ref[pl.ds(i, 1), :]
-  u = py_ref[pl.ds(i, 1), :]
-  colhot_t = (jax.lax.broadcasted_iota(jnp.int32, (w2, tn), 0) == v)
-  rowmask = (jax.lax.broadcasted_iota(jnp.int32, (c * h2p, tn), 0)
-             % h2p == u)
+  v = px_ref[pl.ds(i, 1), :]  # (1, TN) i32
+  u = py_ref[pl.ds(i, 1), :]  # (1, TN) i32
   prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
-  # dout arrives voxel-major (TN, C); expand to (C*H2p, TN) rows via the
-  # one-hot contraction (one nonzero per element — exact).
-  dexp = jax.lax.dot_general(
-      _channel_onehot(h2p, c, dt), dout_ref[0], (((1,), (1,)), ((), ())),
-      precision=prec,
-      preferred_element_type=jnp.float32).astype(dt)
-  d = jnp.where(rowmask, dexp, jnp.zeros((), dt))
+  # dout arrives voxel-major (TN, C) — the forward's output layout, so
+  # XLA inserts no relayout; the small per-tile block is turned C-major
+  # by the transpose unit. Spreading each channel over its lane group
+  # is a sublane broadcast + merge (free: G % 8 == 0), the column
+  # one-hot a lane mask — exactly one nonzero per (c, g, n), so the
+  # backward stays exact.
+  dout_t = jnp.transpose(dout_ref[0], (1, 0))  # (C, TN)
+  colmask = (jax.lax.broadcasted_iota(jnp.int32, (g, tn), 0) == v
+             ).astype(dt).reshape(1, g, tn)
+  d = (dout_t.reshape(c, 1, tn) * colmask).reshape(c * g, tn)
+  rowhot_t = (jax.lax.broadcasted_iota(jnp.int32, (h2p, tn), 0) == u)
   contrib = jax.lax.dot_general(
-      d, colhot_t.astype(dt), (((1,), (1,)), ((), ())),
+      d, rowhot_t.astype(dt), (((1,), (1,)), ((), ())),
       precision=prec,
-      preferred_element_type=jnp.float32)  # (C*H2p, W2)
+      preferred_element_type=jnp.float32)  # (C*G, H2p)
 
   @pl.when(pl.program_id(1) == 0)
   def _():
@@ -115,30 +119,30 @@ def _bwd_kernel(px_ref, py_ref, dout_ref, dfmap_ref, *, h2p, c):
 
 
 @functools.lru_cache(maxsize=None)
-def _make(b, n, w2, h2p, c, dt_name, interpret):
+def _make(b, n, g, h2p, c, dt_name, interpret):
   dt = jnp.dtype(dt_name)
   nb = n // TILE_N
   fwd_call = pl.pallas_call(
-      functools.partial(_fwd_kernel, h2p=h2p, c=c),
+      functools.partial(_fwd_kernel, g=g, c=c),
       grid=(b, nb),
       in_specs=[
           pl.BlockSpec((b, TILE_N), lambda i, j: (0, j)),
           pl.BlockSpec((b, TILE_N), lambda i, j: (0, j)),
-          pl.BlockSpec((1, c * h2p, w2), lambda i, j: (i, 0, 0)),
+          pl.BlockSpec((1, c * g, h2p), lambda i, j: (i, 0, 0)),
       ],
       out_specs=pl.BlockSpec((1, TILE_N, c), lambda i, j: (i, j, 0)),
       out_shape=jax.ShapeDtypeStruct((b, n, c), dt),
       interpret=interpret)
   bwd_call = pl.pallas_call(
-      functools.partial(_bwd_kernel, h2p=h2p, c=c),
+      functools.partial(_bwd_kernel, g=g, c=c),
       grid=(b, nb),
       in_specs=[
           pl.BlockSpec((b, TILE_N), lambda i, j: (0, j)),
           pl.BlockSpec((b, TILE_N), lambda i, j: (0, j)),
           pl.BlockSpec((1, TILE_N, c), lambda i, j: (i, j, 0)),
       ],
-      out_specs=pl.BlockSpec((1, c * h2p, w2), lambda i, j: (i, 0, 0)),
-      out_shape=jax.ShapeDtypeStruct((b, c * h2p, w2), jnp.float32),
+      out_specs=pl.BlockSpec((1, c * g, h2p), lambda i, j: (i, 0, 0)),
+      out_shape=jax.ShapeDtypeStruct((b, c * g, h2p), jnp.float32),
       interpret=interpret)
 
   @jax.custom_vjp
@@ -162,18 +166,23 @@ def _gather_local(fmap_padded, px, py, *, interpret):
   b, h2, w2, c = fmap_padded.shape
   n = px.shape[1]
   h2p = ((h2 + 127) // 128) * 128
-  # [B, H2, W2, C] -> [B, C, H2p, W2] -> [B, C*H2p, W2]: u indexes a
-  # 128-aligned lane group per channel inside the kernel.
-  fmapx = jnp.transpose(fmap_padded, (0, 3, 1, 2))
-  fmapx = jnp.pad(fmapx, ((0, 0), (0, 0), (0, h2p - h2), (0, 0)))
-  fmapx = fmapx.reshape(b, c * h2p, w2)
+  g = ((w2 + 7) // 8) * 8
+  # [B, H2, W2, C] -> [B, C*G, H2p]: each channel's image row in a
+  # sublane-aligned group (G = 8-padded W2); rows u form the matmul's
+  # contraction dim (lanes). The gradient of this prep (slice +
+  # transpose) is XLA's, so the kernel's dfmap unpads automatically.
+  fmapx = jnp.transpose(fmap_padded, (0, 3, 2, 1))
+  fmapx = jnp.pad(fmapx, ((0, 0), (0, 0), (0, g - w2), (0, h2p - h2)))
+  fmapx = fmapx.reshape(b, c * g, h2p)
   pad_n = (-n) % TILE_N
   if pad_n:
     px = jnp.pad(px, ((0, 0), (0, pad_n)))
     py = jnp.pad(py, ((0, 0), (0, pad_n)))
-  gather = _make(b, n + pad_n, w2, h2p, c, fmap_padded.dtype.name,
+  px = px.astype(jnp.int32)
+  py = py.astype(jnp.int32)
+  gather = _make(b, n + pad_n, g, h2p, c, fmap_padded.dtype.name,
                  interpret)
-  out = gather(fmapx, px.astype(jnp.int32), py.astype(jnp.int32))
+  out = gather(fmapx, px, py)
   if pad_n:
     out = out[:, :n, :]
   return out

@@ -54,32 +54,49 @@ def run_checks():
           file=sys.stderr)
 
   # --- skip_gather: forward bit-exact, backward parity -------------------
-  # Production shape: the 256² image's stride-4 feature map is 64² (+2
-  # pad = 66) and the hot skip gathers 64³ voxels. (Larger maps can
-  # exceed the bwd kernel's VMEM accumulator block — h2p jumps from 128
-  # to 256 — which no production config reaches.)
-  b, h2, w2, c = 2, 66, 66, 12
-  n = 64 * 64 * 64
-  fmap = jnp.asarray(rng.randn(b, h2, w2, c).astype(np.float32))
-  px = jnp.asarray(rng.randint(0, w2, (b, n)), jnp.int32)
-  py = jnp.asarray(rng.randint(0, h2, (b, n)), jnp.int32)
+  # Every production skip shape: the 64³-voxel gather from the 66²-pad
+  # stride-4 feature map (c=12) AND the 32³ gather from the 34²-pad
+  # stride-8 map (c=24) — distinct Mosaic lowerings (the c=24 backward
+  # once compiled only with a 2D flat column mask), both in the
+  # production dtype (bf16) plus one f32 case for the HIGHEST-precision
+  # matmul path.
+  for h2, w2, c, nside, dt in [(66, 66, 12, 64, np.float32),
+                               (66, 66, 12, 64, jnp.bfloat16),
+                               (34, 34, 24, 32, jnp.bfloat16)]:
+    b, n = 2, nside ** 3
+    fmap = jnp.asarray(rng.randn(b, h2, w2, c)).astype(dt)
+    px = jnp.asarray(rng.randint(0, w2, (b, n)), jnp.int32)
+    py = jnp.asarray(rng.randint(0, h2, (b, n)), jnp.int32)
 
-  def xla_gather(f):
-    flat = f.reshape(b, h2 * w2, c)
-    idx = (py * w2 + px)
-    return jnp.take_along_axis(flat, idx[:, :, None], axis=1)
+    def xla_gather(f):
+      flat = f.reshape(b, h2 * w2, c)
+      idx = (py * w2 + px)
+      return jnp.take_along_axis(flat, idx[:, :, None], axis=1)
 
-  out_k = np.asarray(jax.jit(lambda f: skip_gather(f, px, py))(fmap))
-  out_x = np.asarray(jax.jit(xla_gather)(fmap))
-  record("skip_gather_fwd_bitexact", (out_k == out_x).all())
+    tag = f"_c{c}_{np.dtype(dt).name}"
+    out_k = np.asarray(jax.jit(lambda f: skip_gather(f, px, py))(fmap))
+    out_x = np.asarray(jax.jit(xla_gather)(fmap))
+    record("skip_gather_fwd_bitexact" + tag, (out_k == out_x).all())
 
-  cot = jnp.asarray(rng.randn(*out_k.shape).astype(np.float32))
-  g_k = np.asarray(jax.jit(jax.grad(
-      lambda f: (skip_gather(f, px, py) * cot).sum()))(fmap))
-  g_x = np.asarray(jax.jit(jax.grad(
-      lambda f: (xla_gather(f) * cot).sum()))(fmap))
-  err = float(np.abs(g_k - g_x).max() / (np.abs(g_x).max() + 1e-9))
-  record("skip_gather_bwd_parity", err < 1e-6, f"rel_err={err:.2e}")
+    cot = jnp.asarray(rng.randn(*out_k.shape)).astype(dt)
+    g_k = np.asarray(jax.jit(jax.grad(
+        lambda f: (skip_gather(f, px, py) * cot).sum()))(fmap),
+        dtype=np.float32)
+    # Reference accumulates in f32 regardless of dt: XLA's bf16
+    # scatter-add rounds after EVERY collision (~60 voxels/pixel here)
+    # while the kernel's MXU accumulators are f32 with one final
+    # rounding — the kernel is the more accurate side, so the bf16
+    # tolerance is one bf16 rounding of the f32 sum, not 1e-6.
+    g_x = np.asarray(jax.jit(jax.grad(
+        lambda f: (xla_gather(f) * cot.astype(jnp.float32)).sum()))(
+            fmap.astype(jnp.float32)))
+    # bf16: one final rounding is ~half-ulp of the max element
+    # (~2e-3 max-normalized); bf16-accumulated scatter error is ~1.5e-2
+    # here, so 5e-3 cleanly separates the two.
+    tol = 1e-6 if dt == np.float32 else 5e-3
+    err = float(np.abs(g_k - g_x).max() / (np.abs(g_x).max() + 1e-9))
+    record("skip_gather_bwd_parity" + tag, err < tol,
+           f"rel_err={err:.2e}")
 
   # --- fgbg loss sums + grads -------------------------------------------
   nvox = 64 * 64 * 64
