@@ -130,7 +130,7 @@ def _cost_only_subprocess(**kwargs):
     return None
 
 
-def cost_only(*, gt, tris, batch, image_size, packed, phase):
+def cost_only(*, gt, tris, batch, image_size, packed, phase, pfs=None):
   """Lowers the identical step on CPU and prints {'flops': N}."""
   import jax
   jax.config.update("jax_platforms", "cpu")
@@ -143,7 +143,8 @@ def cost_only(*, gt, tris, batch, image_size, packed, phase):
   model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
       resolution=resolution, num_output_channels=2)),
       compute_dtype=jnp.bfloat16, packed_decoder=packed,
-      phase_output=packed or phase)
+      phase_output=packed or phase,
+      **({} if pfs is None else dict(pack_from_stage=pfs)))
   optimizer = state_lib.create_optimizer()
   if gt == "parity":
     vox_kwargs = dict(algorithm="parity")
@@ -169,7 +170,7 @@ def cost_only(*, gt, tris, batch, image_size, packed, phase):
 
 
 def run_variant(*, gt, tris, batch, image_size, windows, steps, warmup,
-                profile_dir=None, packed=False, phase=False):
+                profile_dir=None, packed=False, phase=False, pfs=None):
   import os
   import jax
   jax.config.update("jax_compilation_cache_dir",
@@ -186,7 +187,8 @@ def run_variant(*, gt, tris, batch, image_size, windows, steps, warmup,
   model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
       resolution=resolution, num_output_channels=2)),
       compute_dtype=jnp.bfloat16, packed_decoder=packed,
-      phase_output=packed or phase)
+      phase_output=packed or phase,
+      **({} if pfs is None else dict(pack_from_stage=pfs)))
   optimizer = state_lib.create_optimizer()
   mesh = mesh_lib.create_mesh()
 
@@ -316,6 +318,8 @@ def main():
   p.add_argument("--phase", action="store_true",
                  help="phase-major final logits for the loss (skips the "
                       "128^3 interleave; also implied by --packed)")
+  p.add_argument("--pfs", type=int, default=None,
+                 help="pack_from_stage override for the packed decoder")
   p.add_argument("--suite", action="store_true",
                  help="run the diagnostic variant suite (results on stderr)"
                       " before the headline measurement")
@@ -327,7 +331,7 @@ def main():
   if args.cost_only:
     cost_only(gt=args.gt, tris=args.tris, batch=args.batch,
               image_size=args.image_size, packed=args.packed,
-              phase=args.phase)
+              phase=args.phase, pfs=args.pfs)
     return
 
   if args.suite:
@@ -342,7 +346,7 @@ def main():
   value, mfu, tflops = run_variant(
       gt=args.gt, tris=args.tris, batch=args.batch,
       image_size=args.image_size, windows=args.windows,
-      steps=args.steps, warmup=args.warmup,
+      steps=args.steps, warmup=args.warmup, pfs=args.pfs,
       profile_dir=args.profile, packed=args.packed,
       phase=args.phase)
   result = {

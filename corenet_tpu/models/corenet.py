@@ -43,6 +43,8 @@ class CoreNet(nn.Module):
   # Space-to-depth decoder execution (models/packing.py): same parameters
   # and math, substantially better MXU utilization on TPU.
   packed_decoder: bool = False
+  # First decoder tower executed packed (see ReconstructionDecoder).
+  pack_from_stage: int = 5
   # With packed_decoder: emit phase-packed logits (see
   # ReconstructionDecoder.phase_output) for the training-loss fast path.
   phase_output: bool = False
@@ -75,6 +77,7 @@ class CoreNet(nn.Module):
         skip_fraction=dc.skip_fraction,
         compute_dtype=self.compute_dtype,
         packed=self.packed_decoder,
+        pack_from_stage=self.pack_from_stage,
         phase_output=self.phase_output,
         name="decoder")(features, voxel_projection_matrix,
                         voxel_sample_locations, train)

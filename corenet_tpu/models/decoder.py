@@ -44,8 +44,17 @@ class ReconstructionDecoder(nn.Module):
   # Space-to-depth execution (models/packing.py): activations run ×2
   # packed so every conv fills the MXU's output lanes. Bit-equivalent to
   # the unpacked path (same parameters); requires last_upscale_factor 2
-  # and an even initial grid. Large speedup on TPU.
+  # and an even grid at the packing point. Large speedup on TPU.
   packed: bool = False
+  # First tower executed packed (space-to-depth happens right before it;
+  # earlier towers run fine). Early towers have ≥128 fine channels —
+  # already full MXU lanes — and tiny spatial extents, so packing them
+  # buys nothing and pays the packed-kernel expansion data movement
+  # (the stage-2/3 expanded kernels are 200-270 MB each, ~10 ms/step
+  # profiled); stage 5 onward (fine 32³→128³, C ≤ 32) keeps the win.
+  # Measured on the production bench: pfs 2 (pack everything, the old
+  # behavior) ≈ 80, pfs 3 ≈ 80, pfs 4 ≈ 96, pfs 5 ≈ 99 scenes/s.
+  pack_from_stage: int = 5
   # With packed: return the final logits still phase-packed
   # ([B, D/2, H/2, W/2, 8*C], phase-major (pz,py,px,c), compute dtype)
   # instead of depth_to_space + float32. The training loss is
@@ -67,12 +76,19 @@ class ReconstructionDecoder(nn.Module):
     assert depth % div == 0 and height % div == 0 and width % div == 0
     ir = (depth // div, height // div, width // div)
     packed = self.packed
+    pfs = min(max(self.pack_from_stage, 2), 6) if packed else 99
     if packed:
-      assert self.last_upscale_factor == 2 and all(v % 2 == 0 for v in ir), (
-          "packed decoding needs stride-2 stages and an even seed grid")
+      pack_sp = tuple(v * 2 ** (pfs - 2) for v in ir)
+      assert self.last_upscale_factor == 2 and all(
+          v % 2 == 0 for v in pack_sp), (
+          "packed decoding needs stride-2 stages and an even grid at the "
+          f"packing point (stage {pfs} input {pack_sp})")
     from corenet_tpu.models import packing
 
     def apply_skip(x, src2d, stage):
+      # Skip `stage` runs after tower `stage`, so it sees packed
+      # activations iff that tower was packed.
+      x_packed = packed and stage >= pfs
       if self._skip_channels(16) == 0 or stage == 1:
         return x
       skip_c = {2: 128, 3: 64, 4: 32, 5: 16}[stage]
@@ -85,7 +101,7 @@ class ReconstructionDecoder(nn.Module):
           (b, src2d.shape[1], src2d.shape[2], 3))
       src2d = jnp.concatenate([src2d, o], axis=-1)
       layer_res = x.shape[1:4]
-      if packed:
+      if x_packed:
         layer_res = tuple(2 * v for v in layer_res)  # fine resolution
       r = (jnp.array(self.resolution, jnp.float32) /
            jnp.array(layer_res, jnp.float32))
@@ -93,10 +109,10 @@ class ReconstructionDecoder(nn.Module):
           [r, jnp.ones([1], jnp.float32)]))
       layer_matrix = voxel_projection_matrix @ layer_scale
       skip = SampleGrid2d(out_channels, tuple(layer_res),
-                          compute_dtype=self.compute_dtype, packed=packed,
+                          compute_dtype=self.compute_dtype, packed=x_packed,
                           name=f"rt_skip_{stage}")(
                               src2d, layer_matrix, voxel_sample_locations)
-      if packed:
+      if x_packed:
         return packing.packed_concat(x, x.shape[-1] // 8, skip, out_channels)
       return jnp.concatenate([x, skip], axis=-1)
 
@@ -121,35 +137,35 @@ class ReconstructionDecoder(nn.Module):
     x = layers.ConvTranspose(256, ir, ndim=3, stride=ir,
                              compute_dtype=self.compute_dtype,
                              name="stage_1_t")(x)
-    if packed:
-      x = packing.space_to_depth(x)
     x = apply_skip(x, imf.stage5_2048, 1)
 
-    phase = 8 if packed else 1
-
-    def tower(x, name, conv_c, conv_k, t_out, t_k, t_stride, t_pad, t_op,
-              t_phase=False):
+    def tower(x, stage, name, conv_c, conv_k, t_out, t_k, t_stride, t_pad,
+              t_op, t_phase=False):
+      tp = packed and stage >= pfs
+      if tp and stage == pfs:
+        x = packing.space_to_depth(x)
+      phase = 8 if tp else 1
       x = nn.relu(x)
       x = _bn(name=f"{name}_bn1", phase_packing=phase)(x, train)
       x = layers.Conv(conv_c, conv_k, ndim=3, padding=conv_k // 2,
-                      compute_dtype=self.compute_dtype, packed_io=packed,
+                      compute_dtype=self.compute_dtype, packed_io=tp,
                       name=f"{name}_c")(x)
       x = nn.relu(x)
       x = _bn(name=f"{name}_bn2", phase_packing=phase)(x, train)
       x = layers.ConvTranspose(t_out, t_k, ndim=3, stride=t_stride,
                                padding=t_pad, output_padding=t_op,
                                compute_dtype=self.compute_dtype,
-                               packed_io=packed, phase_output=t_phase,
+                               packed_io=tp, phase_output=t_phase,
                                name=f"{name}_t")(x)
       return x
 
-    x = tower(x, "stage_2", 256, 3, 128, 3, 2, 1, 1)
+    x = tower(x, 2, "stage_2", 256, 3, 128, 3, 2, 1, 1)
     x = apply_skip(x, imf.stage5_2048, 2)
-    x = tower(x, "stage_3", 128, 5, 64, 7, 2, 3, 1)
+    x = tower(x, 3, "stage_3", 128, 5, 64, 7, 2, 3, 1)
     x = apply_skip(x, imf.stage4_1024, 3)
-    x = tower(x, "stage_4", 64, 5, 32, 7, 2, 3, 1)
+    x = tower(x, 4, "stage_4", 64, 5, 32, 7, 2, 3, 1)
     x = apply_skip(x, imf.stage3_512, 4)
-    x = tower(x, "stage_5", 32, 5, 16, 7, 2, 3, 1)
+    x = tower(x, 5, "stage_5", 32, 5, 16, 7, 2, 3, 1)
     x = apply_skip(x, imf.stage2_256, 5)
     fine_phase = (self.phase_output and not packed
                   and self.last_upscale_factor == 2)
@@ -157,7 +173,7 @@ class ReconstructionDecoder(nn.Module):
     # emits the deep-phase [B, D/4, H/4, W/4, 64*C] layout; the train
     # step pairs it with the matching GT permutation (factor 64).
     t_phase = fine_phase or (packed and self.phase_output)
-    x = tower(x, "stage_6", 16, 5, self.num_output_channels, 7,
+    x = tower(x, 6, "stage_6", 16, 5, self.num_output_channels, 7,
               self.last_upscale_factor, 3, 1, t_phase=t_phase)
     if packed:
       if self.phase_output:

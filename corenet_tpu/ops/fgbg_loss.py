@@ -38,12 +38,16 @@ def _sums_kernel(diff_ref, gt_ref, out_ref):
     out_ref[0] = jnp.zeros_like(out_ref[0])
 
   pred = jax.nn.sigmoid(diff_ref[0].astype(jnp.float32))
-  # Widen narrow int labels before comparing: Mosaic has no i8 vector
-  # compare ("Target does not support this comparison").
   gt = gt_ref[0]
-  if gt.dtype.itemsize < 4:
-    gt = gt.astype(jnp.int32)
-  fg = gt == 1
+  if jnp.issubdtype(gt.dtype, jnp.floating):
+    # Float labels (the bf16 phased-GT kernel output — exact 0/1).
+    fg = gt == jnp.asarray(1, gt.dtype)
+  else:
+    # Widen narrow int labels before comparing: Mosaic has no i8 vector
+    # compare ("Target does not support this comparison").
+    if gt.dtype.itemsize < 4:
+      gt = gt.astype(jnp.int32)
+    fg = gt == 1
   inter = jnp.where(fg, pred, 0.0)
   union = jnp.where(fg, 1.0, pred)
   inter8 = inter.reshape(tile // 8, 8, 128).sum(axis=0)

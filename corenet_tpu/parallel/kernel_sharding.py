@@ -38,7 +38,8 @@ _mesh: Optional[Mesh] = None
 # Trace-time counters: incremented when a fast path is *taken* (at trace
 # time, inside jit). Tests reset them and assert the production step did
 # not silently fall back (VERDICT r2: "fast path taken" evidence).
-trace_counters = {"skip_gather": 0, "fgbg": 0, "block_scatter": 0}
+trace_counters = {"skip_gather": 0, "fgbg": 0, "block_scatter": 0,
+                  "phased_gt": 0}
 
 
 def register_mesh(mesh: Optional[Mesh]) -> None:

@@ -94,6 +94,9 @@ def make_train_step(model,
     space_sharding = NamedSharding(mesh, PartitionSpec("data", "space"))
 
   phase_loss = bool(getattr(model, "phase_output", False))
+  # Phase factor per axis: the packed decoder's deep-phase output is
+  # factor 4³ = 64, the fine decoder's phased last stage 2³ = 8.
+  phase_s = 4 if bool(getattr(model, "packed_decoder", False)) else 2
   if phase_loss:
     # The phased-GT permutation below assumes an unsharded grid and the
     # binary FG_BG loss contract (C voxel values preserved by any
@@ -109,6 +112,7 @@ def make_train_step(model,
     return jax.lax.with_sharding_constraint(x, space_sharding)
 
   def step(state: TrainState, batch: Batch):
+    gp_gt = None  # phased u8 GT from the bit-packed fast path
     if "grid" in batch:
       grid, v2x = batch["grid"], batch["v2x"]
     elif gt_algorithm == "parity":
@@ -118,11 +122,25 @@ def make_train_step(model,
           batch["mesh_labels"], batch["grid_offset"],
           num_mesh_slots=batch["mesh_labels"].shape[1],
           resolution=vox_kwargs["resolution"])
+    elif (phase_loss and task_type == "FG_BG"
+          and gt.packed_fgbg_eligible(batch["image"].shape[0],
+                                      **vox_kwargs)):
+      # Binary phase-loss GT never leaves the bit-packed form: the
+      # phased u8 grid comes straight from the packed words
+      # (ops/phased_gt.py), skipping the full-grid unpack, the label
+      # compose, and the 10-D phase permute (~9 ms/step at 128³).
+      packed_or, v2x = gt.voxelize_batch_packed_fgbg(
+          batch["triangles"], batch["tri_mesh_slot"], batch["tri_valid"],
+          batch["mesh_labels"], batch["grid_offset"], **vox_kwargs)
+      from corenet_tpu.ops.phased_gt import phased_gt
+      gp_gt = phased_gt(packed_or, phase_s)
+      grid = None
     else:
       grid, v2x = gt.voxelize_batch(
           batch["triangles"], batch["tri_mesh_slot"], batch["tri_valid"],
           batch["mesh_labels"], batch["grid_offset"], **vox_kwargs)
-    grid = constrain(grid)
+    if grid is not None:
+      grid = constrain(grid)
     v2s = compute_v2s(batch["camera"], v2x)
 
     def compute_loss(params):
@@ -147,15 +165,19 @@ def make_train_step(model,
         b, dq, hq, wq, pc = logits.shape
         nc = model.config.decoder.num_output_channels
         factor = pc // nc
-        g8 = grid.astype(jnp.uint8)
-        if factor == 8:
-          gp = g8.reshape(b, dq, 2, hq, 2, wq, 2)
-          gp = jnp.transpose(gp, (0, 1, 3, 5, 2, 4, 6))
+        if gp_gt is not None:
+          assert factor == phase_s ** 3, (factor, phase_s)
+          gp = gp_gt
         else:
-          assert factor == 64, factor
-          gp = g8.reshape(b, dq, 2, 2, hq, 2, 2, wq, 2, 2)
-          gp = jnp.transpose(gp, (0, 1, 4, 7, 2, 5, 8, 3, 6, 9))
-        gp = gp.reshape(b, dq, hq, wq * factor)
+          g8 = grid.astype(jnp.uint8)
+          if factor == 8:
+            gp = g8.reshape(b, dq, 2, hq, 2, wq, 2)
+            gp = jnp.transpose(gp, (0, 1, 3, 5, 2, 4, 6))
+          else:
+            assert factor == 64, factor
+            gp = g8.reshape(b, dq, 2, 2, hq, 2, 2, wq, 2, 2)
+            gp = jnp.transpose(gp, (0, 1, 4, 7, 2, 5, 8, 3, 6, 9))
+          gp = gp.reshape(b, dq, hq, wq * factor)
         return loss_fn(gp, logits.reshape(b, dq, hq, wq * factor,
                                           nc)), updates
       return loss_fn(grid, logits), updates

@@ -81,28 +81,44 @@ def blocked_eligible(*, resolution, sub_grid_sampling,
           and (max_bbox_pixels - 4) <= 2.5 * int(irm))
 
 
-def _project(triangles, tri_mesh_slot, view2voxel, *, m, irm):
-  """Shared per-triangle projection geometry (vertex-level only)."""
+def _project(triangles, tri_mesh_slot, view2voxel, *, m, irm,
+             uniform_mats=False):
+  """Shared per-triangle projection geometry (vertex-level only).
+
+  uniform_mats: all mesh slots share one view→voxel matrix (true for the
+  production GT path, where it is scale+shift per scene) — skips the
+  per-triangle matrix gather.
+  """
   wp = UV_CELLS * irm            # window size in pixels
   image_res = m * irm
   s = jnp.float32(m / image_res)  # sample spacing (1/irm)
 
-  mats = view2voxel[tri_mesh_slot]
-  v = jnp.einsum("cij,cvj->cvi", mats[:, :3, :3], triangles) \
-      + mats[:, None, :3, 3]
+  if uniform_mats:
+    mat = view2voxel[0]
+    v = jnp.einsum("ij,cvj->cvi", mat[:3, :3], triangles) + mat[:3, 3]
+  else:
+    mats = view2voxel[tri_mesh_slot]
+    v = jnp.einsum("cij,cvj->cvi", mats[:, :3, :3], triangles) \
+        + mats[:, None, :3, 3]
 
   e1 = v[:, 1] - v[:, 0]
   e2 = v[:, 2] - v[:, 0]
   normal = jnp.cross(e1, e2)
   k = _dominant_axis(normal)  # [T]
 
-  plane_axes = jnp.asarray(_PLANE_AXES)
-  u_ax = plane_axes[k, 0]
-  v_ax = plane_axes[k, 1]
-
-  vu = jnp.take_along_axis(v, u_ax[:, None, None], axis=2)[..., 0]  # [T,3]
-  vv = jnp.take_along_axis(v, v_ax[:, None, None], axis=2)[..., 0]
-  vd = jnp.take_along_axis(v, k[:, None, None], axis=2)[..., 0]
+  # Coordinate selection per dominant axis (_PLANE_AXES rows) as select
+  # chains — XLA:TPU lowers the take_along_axis form as generic gathers
+  # costing ~4 ms/step at production triangle counts.
+  vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
+  k_ = k[:, None]
+  vu = jnp.where(k_ == 0, vy, jnp.where(k_ == 1, vz, vx))  # [T,3]
+  vv = jnp.where(k_ == 0, vz, jnp.where(k_ == 1, vx, vy))
+  vd = jnp.where(k_ == 0, vx, jnp.where(k_ == 1, vy, vz))
+  pa = np.asarray(_PLANE_AXES)
+  u_ax = jnp.where(k == 0, pa[0, 0],
+                   jnp.where(k == 1, pa[1, 0], pa[2, 0]))
+  v_ax = jnp.where(k == 0, pa[0, 1],
+                   jnp.where(k == 1, pa[1, 1], pa[2, 1]))
 
   # Cell-aligned, clipped pixel window (multiples of irm ⇒ sample column
   # a belongs to cell a // irm, exactly).
@@ -132,11 +148,13 @@ def _phase_a(triangles: jnp.ndarray,      # f32[T, 3, 3]
              *,
              m: int,                      # cubic grid extent
              irm: int,
-             conservative: bool):
+             conservative: bool,
+             uniform_mats: bool = False):
   """Per-triangle packed blocks: (origins i32[T], pw u32[T, 8, 8·NW])."""
   wp = UV_CELLS * irm            # window size in pixels
   nw = m // 32
-  g = _project(triangles, tri_mesh_slot, view2voxel, m=m, irm=irm)
+  g = _project(triangles, tri_mesh_slot, view2voxel, m=m, irm=irm,
+               uniform_mats=uniform_mats)
   s, v = g["s"], g["v"]
   k, u_ax, v_ax = g["k"], g["u_ax"], g["v_ax"]
   vu, vv, vd = g["vu"], g["vv"], g["vd"]
@@ -324,7 +342,7 @@ def voxelize_blocked_packed(
     static_argnames=("num_meshes", "resolution",
                      "image_resolution_multiplier",
                      "conservative_rasterization", "fill_inside",
-                     "fill_rounds", "shard_mesh"))
+                     "fill_rounds", "shard_mesh", "uniform_mats"))
 def _voxelize_blocked_packed(
     triangles: jnp.ndarray,
     tri_mesh_slot: jnp.ndarray,
@@ -338,6 +356,7 @@ def _voxelize_blocked_packed(
     fill_inside: bool = True,
     fill_rounds=None,
     shard_mesh=None,
+    uniform_mats: bool = False,
 ) -> jnp.ndarray:
   d, h, w = resolution
   assert d == h == w and d % 32 == 0
@@ -348,7 +367,8 @@ def _voxelize_blocked_packed(
   def core(triangles, tri_mesh_slot, view2voxel, tri_valid):
     origins, pw = jax.vmap(functools.partial(
         _phase_a, m=m, irm=irm,
-        conservative=conservative_rasterization))(
+        conservative=conservative_rasterization,
+        uniform_mats=uniform_mats))(
             triangles, tri_mesh_slot, view2voxel, tri_valid)
 
     packed = block_scatter_or(origins, pw, meshes=num_meshes, h=m, w=m,

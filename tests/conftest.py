@@ -26,3 +26,18 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_kernel_sharding_registry():
+  """The kernel-sharding mesh registry is process-global (one training
+  mesh per process in production); tests that register a mesh must not
+  leak it into later tests — a stale mesh makes standalone kernel calls
+  shard_map over a mesh their inputs were never sharded on."""
+  from corenet_tpu.parallel import kernel_sharding
+  kernel_sharding.register_mesh(None)
+  yield
+  kernel_sharding.register_mesh(None)

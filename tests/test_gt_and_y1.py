@@ -246,3 +246,49 @@ def test_y1_subgrid_train_step_runs():
       donate=False)
   new_state, metrics = step(state, inputs)
   assert np.isfinite(float(metrics["loss"]))
+
+
+def test_phased_gt_step_matches_xla_path(monkeypatch):
+  """The bit-packed phased-GT path (gt.voxelize_batch_packed_fgbg +
+  ops/phased_gt.py) must produce the identical training loss to the
+  dense unpack + phase-permute path — same bits in, same loss out."""
+  from corenet_tpu.models.corenet import CoreNet, CoreNetConfig, DecoderConfig
+  from corenet_tpu.parallel import kernel_sharding
+  from corenet_tpu.train import gt as gt_lib
+  from corenet_tpu.train import state as state_lib
+  from corenet_tpu.train.step import make_train_step
+  import sys
+  sys.path.insert(0, "/root/repo")
+  from __graft_entry__ import _example_inputs
+
+  res = (64, 64, 64)
+  irm, window = 8, 24
+  max_edge = (window - 4) / irm / 64
+  inputs = _example_inputs(1, 64, res, num_tri=3072, num_mesh=1,
+                           max_edge_view=max_edge)
+  model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
+      resolution=res, num_output_channels=2)),
+      packed_decoder=True, phase_output=True)
+  opt = state_lib.create_optimizer()
+  variables = jax.jit(lambda: model.init(
+      jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.uint8),
+      jnp.eye(4)[None], jnp.full((1, 3), 0.5), train=False))()
+  vox = dict(image_resolution_multiplier=irm,
+             conservative_rasterization=False, max_bbox_pixels=window)
+
+  def run():
+    state = state_lib.create_train_state(variables, opt)
+    step = make_train_step(model, opt, "FG_BG", res,
+                           voxelization_kwargs=dict(vox), donate=False)
+    _, metrics = step(state, inputs)
+    return float(metrics["loss"])
+
+  kernel_sharding.trace_counters["phased_gt"] = 0
+  assert gt_lib.packed_fgbg_eligible(1, resolution=res, **vox)
+  loss_fast = run()
+  assert kernel_sharding.trace_counters["phased_gt"] == 1  # path taken
+
+  monkeypatch.setattr(gt_lib, "packed_fgbg_eligible",
+                      lambda *a, **k: False)
+  loss_ref = run()
+  np.testing.assert_allclose(loss_fast, loss_ref, rtol=1e-6)

@@ -63,10 +63,12 @@ def test_packed_conv_transpose_matches_fine(k, p, op):
                      atol=2e-5)
 
 
-def test_packed_decoder_matches_unpacked():
+@pytest.mark.parametrize("pfs", [2, 4, 5, 6])
+def test_packed_decoder_matches_unpacked(pfs):
   """Full decoder: packed execution must equal the fine-grid execution
   with identical parameters (128³ would be slow on CPU; 64³ exercises
-  every packed op: ir=(2,2,2) even seed)."""
+  every packed op: ir=(2,2,2) even seed). pack_from_stage variants run
+  the leading towers fine and pack at stage pfs."""
   from corenet_tpu.models.corenet import CoreNet, CoreNetConfig, DecoderConfig
   import functools
 
@@ -81,7 +83,7 @@ def test_packed_decoder_matches_unpacked():
   loc = jnp.full((1, 3), 0.5, jnp.float32)
 
   base = CoreNet(cfg)
-  packed = CoreNet(cfg, packed_decoder=True)
+  packed = CoreNet(cfg, packed_decoder=True, pack_from_stage=pfs)
   variables = jax.jit(functools.partial(base.init, train=False))(
       jax.random.PRNGKey(0), image, proj, loc)
   out_base = jax.jit(functools.partial(base.apply, train=False))(

@@ -7,6 +7,7 @@ adversarial cases pointed at the production fill.
 """
 
 import numpy as np
+import pytest
 import numpy.testing as tt
 import jax.numpy as jnp
 
@@ -37,3 +38,31 @@ def test_fill_static_rounds_matches_adaptive():
   adaptive = np.asarray(fill_inside_voxels(jnp.asarray(g)))
   static = np.asarray(fill_inside_voxels(jnp.asarray(g), fill_rounds=8))
   tt.assert_array_equal(adaptive, static)
+
+
+def _reference_phased(grid_u8, s):
+  """The train/step.py GT phase permutation (factor s³)."""
+  b, d, h, w = grid_u8.shape
+  dq, hq, wq = d // s, h // s, w // s
+  if s == 2:
+    gp = grid_u8.reshape(b, dq, 2, hq, 2, wq, 2)
+    gp = gp.transpose(0, 1, 3, 5, 2, 4, 6)
+  else:
+    gp = grid_u8.reshape(b, dq, 2, 2, hq, 2, 2, wq, 2, 2)
+    gp = gp.transpose(0, 1, 4, 7, 2, 5, 8, 3, 6, 9)
+  return gp.reshape(b, dq, hq, wq * s ** 3)
+
+
+@pytest.mark.parametrize("s,shape", [(2, (2, 64, 64, 64)),
+                                     (4, (2, 64, 64, 64)),
+                                     (4, (1, 128, 128, 128))])
+def test_phased_gt_matches_permute(s, shape):
+  """ops/phased_gt.py must equal unpack + the step's phase permutation."""
+  from corenet_tpu.ops.phased_gt import phased_gt
+  from corenet_tpu.voxel.packed import pack_grid
+
+  rng = np.random.default_rng(11)
+  grid = (rng.random(shape) < 0.4).astype(np.uint8)
+  packed = pack_grid(jnp.asarray(grid))  # [B, H, W, NW]
+  out = np.asarray(phased_gt(packed, s))
+  tt.assert_array_equal(out, _reference_phased(grid, s))

@@ -144,6 +144,24 @@ def run_checks():
   occ = int(np.asarray(g_fast).sum())
   record("blocked_gt_bitexact_vs_general", same and occ > 0, f"occ={occ}")
 
+  # --- phased GT kernel vs unpack + permute (production 128³, s=4 and
+  # the fine-decoder s=2 layout) ------------------------------------------
+  from corenet_tpu.ops.phased_gt import phased_gt
+  from corenet_tpu.voxel.packed import pack_grid
+  g128 = (rng.rand(2, 128, 128, 128) < 0.4).astype(np.uint8)
+  packed = jax.jit(pack_grid)(jnp.asarray(g128))
+  for s in (2, 4):
+    dq = 128 // s
+    if s == 2:
+      ref = g128.reshape(2, dq, 2, dq, 2, dq, 2).transpose(
+          0, 1, 3, 5, 2, 4, 6)
+    else:
+      ref = g128.reshape(2, dq, 2, 2, dq, 2, 2, dq, 2, 2).transpose(
+          0, 1, 4, 7, 2, 5, 8, 3, 6, 9)
+    ref = ref.reshape(2, dq, dq, dq * s ** 3)
+    out = np.asarray(jax.jit(lambda p, s=s: phased_gt(p, s))(packed))
+    record(f"phased_gt_s{s}_bitexact", (out == ref).all())
+
   # --- static fill rounds ------------------------------------------------
   grid = (rng.rand(2, 32, 32, 32) > 0.8).astype(np.float32)
   f_ad = np.asarray(jax.jit(fill_inside_voxels)(jnp.asarray(grid)))
