@@ -30,6 +30,12 @@ class BatchRenorm(nn.Module):
   # channel axis is [phase, fine-channel]; statistics/parameters stay
   # per fine channel, so results are identical to the unpacked layout.
   phase_packing: int = 1
+  # Block layout after a packed skip concat: channel axis is
+  # [P·g0 | P·g1 | …] (each block phase-major over its own fine
+  # channels, see packing.packed_conv input_groups). Fine channel order
+  # is block order, matching the unpacked concat. Requires
+  # phase_packing = P; parameters stay [sum(groups)].
+  phase_groups: tuple[int, ...] | None = None
 
   @nn.compact
   def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -49,14 +55,31 @@ class BatchRenorm(nn.Module):
     # input dtype, so bf16 activations never materialize f32 copies
     # (these are the largest tensors in the decoder).
     num_channels = x.shape[-1] // p
+    groups = self.phase_groups
+    if groups is not None:
+      assert p > 1 and sum(groups) == num_channels, (groups, num_channels)
 
     def fold(v):
       """Per-packed-channel [P·C] f32 → per-fine-channel [C] (phase mean;
-      phases have equal element counts, so this equals the joint mean)."""
+      phases have equal element counts, so this equals the joint mean).
+      Under a block layout, folds each [P·g] block to [g] and keeps the
+      blocks' fine-channel order."""
+      if groups is not None:
+        parts, off = [], 0
+        for g in groups:
+          parts.append(v[off:off + p * g].reshape(p, g).mean(axis=0))
+          off += p * g
+        return jnp.concatenate(parts)
       return v.reshape(p, num_channels).mean(axis=0) if p > 1 else v
 
     def tile(v, dtype):
       """Per-fine-channel [C] → per-packed-channel [P·C]."""
+      if groups is not None:
+        parts, off = [], 0
+        for g in groups:
+          parts.append(jnp.tile(v[off:off + g], p))
+          off += g
+        return jnp.concatenate(parts).astype(dtype)
       return (jnp.tile(v, p) if p > 1 else v).astype(dtype)
     scale = self.param("scale", nn.initializers.ones, (num_channels,))
     bias = self.param("bias", nn.initializers.zeros, (num_channels,))

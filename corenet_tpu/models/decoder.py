@@ -30,8 +30,9 @@ from corenet_tpu.models.resnet50 import ResNet50Features
 from corenet_tpu.models.skip import SampleGrid2d
 
 
-def _bn(name=None, phase_packing=1):
-  return BatchRenorm(eps=1e-3, name=name, phase_packing=phase_packing)
+def _bn(name=None, phase_packing=1, phase_groups=None):
+  return BatchRenorm(eps=1e-3, name=name, phase_packing=phase_packing,
+                     phase_groups=phase_groups)
 
 
 class ReconstructionDecoder(nn.Module):
@@ -85,7 +86,15 @@ class ReconstructionDecoder(nn.Module):
           f"packing point (stage {pfs} input {pack_sp})")
     from corenet_tpu.models import packing
 
+    # Fine-channel block structure of the CURRENT packed activation:
+    # None = plain phase-major; (g0, g1) = block layout [8·g0 | 8·g1]
+    # left by a packed skip concat (a free lane concat; the consuming
+    # conv/renorm compensate via input_groups/phase_groups so no
+    # [.., 8, C] reshuffle of the big tensor is ever materialized).
+    blocked_groups = None
+
     def apply_skip(x, src2d, stage):
+      nonlocal blocked_groups
       # Skip `stage` runs after tower `stage`, so it sees packed
       # activations iff that tower was packed.
       x_packed = packed and stage >= pfs
@@ -113,7 +122,7 @@ class ReconstructionDecoder(nn.Module):
                           name=f"rt_skip_{stage}")(
                               src2d, layer_matrix, voxel_sample_locations)
       if x_packed:
-        return packing.packed_concat(x, x.shape[-1] // 8, skip, out_channels)
+        blocked_groups = (x.shape[-1] // 8, out_channels)
       return jnp.concatenate([x, skip], axis=-1)
 
     imf = image_features
@@ -141,15 +150,19 @@ class ReconstructionDecoder(nn.Module):
 
     def tower(x, stage, name, conv_c, conv_k, t_out, t_k, t_stride, t_pad,
               t_op, t_phase=False):
+      nonlocal blocked_groups
       tp = packed and stage >= pfs
       if tp and stage == pfs:
         x = packing.space_to_depth(x)
       phase = 8 if tp else 1
+      groups = blocked_groups if tp else None
+      blocked_groups = None
       x = nn.relu(x)
-      x = _bn(name=f"{name}_bn1", phase_packing=phase)(x, train)
+      x = _bn(name=f"{name}_bn1", phase_packing=phase,
+              phase_groups=groups)(x, train)
       x = layers.Conv(conv_c, conv_k, ndim=3, padding=conv_k // 2,
                       compute_dtype=self.compute_dtype, packed_io=tp,
-                      name=f"{name}_c")(x)
+                      input_groups=groups, name=f"{name}_c")(x)
       x = nn.relu(x)
       x = _bn(name=f"{name}_bn2", phase_packing=phase)(x, train)
       x = layers.ConvTranspose(t_out, t_k, ndim=3, stride=t_stride,

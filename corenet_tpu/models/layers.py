@@ -68,6 +68,9 @@ class Conv(nn.Module):
   # Space-to-depth execution (3D, stride 1, padding k//2 only): input and
   # output are ×2-packed [.., D/2, H/2, W/2, 8C]. Same parameters.
   packed_io: bool = False
+  # Packed input in block layout [8·g0 | 8·g1 | …] after a skip concat
+  # (see packing.packed_conv). Fine in_features = sum(input_groups).
+  input_groups: tuple[int, ...] | None = None
 
   @nn.compact
   def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -94,7 +97,8 @@ class Conv(nn.Module):
       from corenet_tpu.models import packing
       assert n == 3 and all(si == 1 for si in s) and all(
           pi == ki // 2 for pi, ki in zip(p, k))
-      y = packing.packed_conv(x, kernel, p[0])
+      y = packing.packed_conv(x, kernel, p[0],
+                              input_groups=self.input_groups)
       if self.use_bias:
         bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
         y = (y + jnp.tile(bias, 8).astype(y.dtype)).astype(y.dtype)

@@ -157,14 +157,23 @@ def _conv_transpose_rows(k: int, p: int, dj_lo: int, taps: int):
 
 
 def packed_conv(x_packed: jnp.ndarray, kernel: jnp.ndarray,
-                padding: int) -> jnp.ndarray:
+                padding: int,
+                input_groups: tuple[int, ...] | None = None) -> jnp.ndarray:
   """Stride-1 'SAME-ish' conv on packed activations.
 
   Args:
     x_packed: [B, D2, H2, W2, 8·Cin].
     kernel: the ORIGINAL fine kernel [k, k, k, Cin, Cout] (odd k,
       padding = k // 2 so fine output size == fine input size).
-  Returns: [B, D2, H2, W2, 8·Cout].
+    input_groups: fine-channel counts (g0, g1, …) summing to Cin when
+      x_packed's channel axis is a BLOCK layout [8·g0 | 8·g1 | …] (each
+      block phase-major) instead of one phase-major interleave. This is
+      how skip concats stay a free lane concat: the activation keeps the
+      two phase-major blocks side by side and the (static, tiny) kernel
+      expansion reorders to match — no [.., 8, C] reshuffle of the big
+      tensor, whose layout XLA otherwise propagates into every adjacent
+      elementwise op.
+  Returns: [B, D2, H2, W2, 8·Cout] (phase-major, ungrouped).
   """
   k = kernel.shape[0]
   p = padding
@@ -181,7 +190,16 @@ def packed_conv(x_packed: jnp.ndarray, kernel: jnp.ndarray,
   kk = _onehot_matmul(kernel, flatw, valid)
   kk = kk.reshape(taps, taps, taps, 8, 8, cin, cout)
   kk = jnp.transpose(kk, (0, 1, 2, 3, 5, 4, 6))
-  kk = kk.reshape(taps, taps, taps, 8 * cin, 8 * cout)
+  if input_groups is not None:
+    assert sum(input_groups) == cin, (input_groups, cin)
+    parts, off = [], 0
+    for g in input_groups:
+      parts.append(kk[:, :, :, :, off:off + g].reshape(
+          taps, taps, taps, 8 * g, 8 * cout))
+      off += g
+    kk = jnp.concatenate(parts, axis=3)
+  else:
+    kk = kk.reshape(taps, taps, taps, 8 * cin, 8 * cout)
 
   out = jax.lax.conv_general_dilated(
       x_packed, kk, window_strides=(1, 1, 1),
@@ -257,13 +275,10 @@ def packed_conv_transpose(x_packed: jnp.ndarray, kernel: jnp.ndarray,
   return y.reshape(b, 2 * j0, 2 * j1, 2 * j2, 8 * cout)
 
 
-def packed_concat(a: jnp.ndarray, ca: int, b: jnp.ndarray,
-                  cb: int) -> jnp.ndarray:
-  """Concatenates two packed tensors along the fine channel axis.
-
-  Plain concat would interleave whole phase blocks; the packed layout is
-  phase-major, so fine-channel concat must happen inside each phase."""
-  sp = a.shape[:-1]
-  a = a.reshape(sp + (8, ca))
-  b = b.reshape(sp + (8, cb))
-  return jnp.concatenate([a, b], axis=-1).reshape(sp + (8 * (ca + cb),))
+# Note on packed concats: there is deliberately NO packed_concat helper.
+# Concatenating a skip onto packed activations is a plain lane concat —
+# the result is a BLOCK layout [8·ca | 8·cb] that the next conv consumes
+# via `input_groups` (and BatchRenorm via `phase_groups`). A per-phase
+# interleave here would reshape the big activation to [.., 8, C], and XLA
+# propagates that mostly-empty minor-dims layout into every adjacent
+# elementwise op (profiled ~12 ms/step of relu/bias/renorm overhead).

@@ -104,7 +104,11 @@ def _kernel(words_ref, pfat_ref, out_ref, *, s, h, w):
 @functools.lru_cache(maxsize=None)
 def _pfat(s: int, w: int):
   """Block-row one-hot [s²·W, W·s²]: block (zc, yc) spreads source lane
-  x to jx·s³ + xpart[xc] + zpart[zc] + ypart[yc]."""
+  x to jx·s³ + xpart[xc] + zpart[zc] + ypart[yc].
+
+  Returns NUMPY (not jnp): the first call can happen inside a jit trace,
+  and caching the jnp conversion there would cache a constant tracer —
+  a leak that poisons every later call outside that trace."""
   zw, yw, xw = _digit_parts(s)
   zpart, ypart, xpart = _parts(zw, s), _parts(yw, s), _parts(xw, s)
   p = np.zeros((s * s * w, w * s * s), np.float32)
@@ -114,7 +118,7 @@ def _pfat(s: int, w: int):
       off = zpart[zc] + ypart[yc]
       for x in range(w):
         p[base + x, (x // s) * s ** 3 + xpart[x % s] + off] = 1.0
-  return jnp.asarray(p, jnp.bfloat16)
+  return p.astype(jnp.bfloat16)  # numpy with ml_dtypes bfloat16
 
 
 @functools.lru_cache(maxsize=None)

@@ -63,6 +63,65 @@ def test_packed_conv_transpose_matches_fine(k, p, op):
                      atol=2e-5)
 
 
+def test_packed_conv_block_input_groups():
+  """Block layout [8·ga | 8·gb] + input_groups == interleaved packed conv.
+
+  This is the skip-concat contract: a plain lane concat of two
+  phase-major packed tensors, consumed by a conv whose kernel expansion
+  reorders to match (packing.packed_conv input_groups)."""
+  rng = np.random.default_rng(7)
+  ga, gb, cout, k = 3, 2, 4, 5
+  a = jnp.asarray(rng.random((2, 4, 4, 4, 8 * ga)).astype(np.float32))
+  b = jnp.asarray(rng.random((2, 4, 4, 4, 8 * gb)).astype(np.float32))
+  kernel = jnp.asarray(
+      rng.random((k, k, k, ga + gb, cout)).astype(np.float32) - 0.5)
+
+  # Reference: interleave the blocks per phase, plain packed conv.
+  sp = a.shape[:-1]
+  inter = jnp.concatenate(
+      [a.reshape(sp + (8, ga)), b.reshape(sp + (8, gb))],
+      axis=-1).reshape(sp + (8 * (ga + gb),))
+  want = packing.packed_conv(inter, kernel, k // 2)
+
+  got = packing.packed_conv(jnp.concatenate([a, b], axis=-1), kernel,
+                            k // 2, input_groups=(ga, gb))
+  tt.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                     atol=2e-5)
+
+
+def test_batch_renorm_phase_groups_matches_interleaved():
+  from corenet_tpu.models.batch_renorm import BatchRenorm
+  rng = np.random.default_rng(3)
+  ga, gb = 3, 2
+  a = jnp.asarray(rng.random((2, 4, 4, 4, 8 * ga)).astype(np.float32))
+  b = jnp.asarray(rng.random((2, 4, 4, 4, 8 * gb)).astype(np.float32))
+  sp = a.shape[:-1]
+  inter = jnp.concatenate(
+      [a.reshape(sp + (8, ga)), b.reshape(sp + (8, gb))],
+      axis=-1).reshape(sp + (8 * (ga + gb),))
+  blocked = jnp.concatenate([a, b], axis=-1)
+
+  m_i = BatchRenorm(phase_packing=8)
+  m_g = BatchRenorm(phase_packing=8, phase_groups=(ga, gb))
+  params = m_i.init(jax.random.PRNGKey(0), inter, True)
+  want, vs_i = m_i.apply(params, inter, True, mutable=["batch_stats"])
+  got, vs_g = m_g.apply(params, blocked, True, mutable=["batch_stats"])
+  # Outputs match after re-interleaving the blocked result.
+  got_i = jnp.concatenate(
+      [got[..., :8 * ga].reshape(sp + (8, ga)),
+       got[..., 8 * ga:].reshape(sp + (8, gb))],
+      axis=-1).reshape(sp + (8 * (ga + gb),))
+  tt.assert_allclose(np.asarray(got_i), np.asarray(want), rtol=1e-5,
+                     atol=1e-6)
+  # Running statistics (per fine channel) match too.
+  tt.assert_allclose(
+      np.asarray(vs_g["batch_stats"]["mean"]),
+      np.asarray(vs_i["batch_stats"]["mean"]), rtol=1e-6, atol=1e-7)
+  tt.assert_allclose(
+      np.asarray(vs_g["batch_stats"]["var"]),
+      np.asarray(vs_i["batch_stats"]["var"]), rtol=1e-6, atol=1e-7)
+
+
 @pytest.mark.parametrize("pfs", [2, 4, 5, 6])
 def test_packed_decoder_matches_unpacked(pfs):
   """Full decoder: packed execution must equal the fine-grid execution
