@@ -154,6 +154,52 @@ def test_packed_decoder_matches_unpacked(pfs):
                      rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
+def test_packed_decoder_grads_match_unpacked():
+  """Training equivalence: d(loss)/d(params) of the packed execution
+  (pfs=5 default, exercising the blocked skip concat + group-aware
+  conv/renorm) must match the fine execution with the same parameters."""
+  from corenet_tpu.models.corenet import CoreNet, CoreNetConfig, DecoderConfig
+  import functools
+
+  cfg = CoreNetConfig(decoder=DecoderConfig(resolution=(64, 64, 64),
+                                            num_output_channels=2))
+  rng = np.random.default_rng(11)
+  image = jnp.asarray((rng.random((1, 64, 64, 3)) * 255).astype(np.uint8))
+  proj = np.eye(4, dtype=np.float32)[None].copy()
+  proj[:, 0, 0] = proj[:, 1, 1] = 1 / 32.0
+  proj[:, 0, 3] = proj[:, 1, 3] = -1
+  proj = jnp.asarray(proj)
+  loc = jnp.full((1, 3), 0.5, jnp.float32)
+  tgt = jnp.asarray(
+      (rng.random((1, 64, 64, 64, 2)) > 0.7).astype(np.float32))
+
+  base = CoreNet(cfg)
+  packed = CoreNet(cfg, packed_decoder=True)  # pack_from_stage default
+  variables = jax.jit(functools.partial(base.init, train=False))(
+      jax.random.PRNGKey(0), image, proj, loc)
+
+  def loss(params, model):
+    out = model.apply({**variables, "params": params}, image, proj, loc,
+                      train=False)
+    return jnp.mean((out - tgt) ** 2)
+
+  g_base = jax.jit(jax.grad(functools.partial(loss, model=base)))(
+      variables["params"])
+  g_packed = jax.jit(jax.grad(functools.partial(loss, model=packed)))(
+      variables["params"])
+  flat_b = jax.tree_util.tree_leaves_with_path(g_base)
+  flat_p = dict(jax.tree_util.tree_leaves_with_path(g_packed))
+  # Identical trees; every leaf gradient matches to fp tolerance.
+  assert set(flat_p) == {k for k, _ in flat_b}
+  for key, vb in flat_b:
+    vp = flat_p[key]
+    scale = max(np.abs(np.asarray(vb)).max(), 1e-6)
+    tt.assert_allclose(np.asarray(vp) / scale, np.asarray(vb) / scale,
+                       rtol=0, atol=5e-3,
+                       err_msg=jax.tree_util.keystr(key))
+
+
 def test_conv_transpose_phase_output_matches_interleaved():
   """ConvTranspose(phase_output=True) must equal the normal output after
   a depth-to-space interleave (it is the same conv minus the reshuffle,
