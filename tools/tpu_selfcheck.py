@@ -162,6 +162,33 @@ def run_checks():
     out = np.asarray(jax.jit(lambda p, s=s: phased_gt(p, s))(packed))
     record(f"phased_gt_s{s}_bitexact", (out == ref).all())
 
+  # --- packed decoder (blocked skip concat) vs fine, compiled on TPU ----
+  # Pure XLA, but the blocked lane-concat layout + group-reordered kernel
+  # expansions only meet the TPU backend here; 64³ exercises every
+  # packed op including the stage-5/6 input_groups/phase_groups path.
+  from corenet_tpu.models.corenet import CoreNet, CoreNetConfig, DecoderConfig
+  import functools as _ft
+  ccfg = CoreNetConfig(decoder=DecoderConfig(resolution=(64, 64, 64),
+                                             num_output_channels=2))
+  image = jnp.asarray((rng.rand(1, 64, 64, 3) * 255).astype(np.uint8))
+  proj = np.eye(4, dtype=np.float32)[None].copy()
+  proj[:, 0, 0] = proj[:, 1, 1] = 1 / 32.0
+  proj[:, 0, 3] = proj[:, 1, 3] = -1
+  proj = jnp.asarray(proj)
+  loc = jnp.full((1, 3), 0.5, jnp.float32)
+  base_m = CoreNet(ccfg)
+  packed_m = CoreNet(ccfg, packed_decoder=True)
+  variables = jax.jit(_ft.partial(base_m.init, train=False))(
+      jax.random.PRNGKey(0), image, proj, loc)
+  o_base = np.asarray(jax.jit(_ft.partial(base_m.apply, train=False))(
+      variables, image, proj, loc))
+  o_packed = np.asarray(jax.jit(_ft.partial(packed_m.apply, train=False))(
+      variables, image, proj, loc))
+  perr = float(np.abs(o_packed - o_base).max() /
+               (np.abs(o_base).max() + 1e-9))
+  record("packed_decoder_blocked_concat_parity", perr < 2e-3,
+         f"rel_err={perr:.2e}")
+
   # --- static fill rounds ------------------------------------------------
   grid = (rng.rand(2, 32, 32, 32) > 0.8).astype(np.float32)
   f_ad = np.asarray(jax.jit(fill_inside_voxels)(jnp.asarray(grid)))
