@@ -37,12 +37,12 @@ _PALLAS_MIN_N = 32768
 def _use_pallas(b: int, n: int, use_pallas: bool | None) -> bool:
   if use_pallas is not None:
     return use_pallas
-  # Multi-device: only under a registered pure-data mesh, where the
-  # kernel shard_maps over 'data' (parallel/kernel_sharding.py); under a
-  # 'space'-sharded mesh the XLA gather path (which partitions
-  # automatically) is used instead.
+  # Multi-device: under a registered mesh the kernel shard_maps over
+  # 'data' (per batch shard) and over a non-trivial 'space' axis too
+  # (per voxel shard; parallel/kernel_sharding.py).
   return (kernel_sharding.backend_ok()
-          and kernel_sharding.kernel_mode(b) is not None
+          and kernel_sharding.kernel_mode(b, n=n, allow_space=True)
+          is not None
           and n >= _PALLAS_MIN_N)
 
 

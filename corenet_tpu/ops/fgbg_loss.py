@@ -109,9 +109,12 @@ def fgbg_sums(diff: jnp.ndarray,   # float[B, ...] logit differences
   diff. Requires the per-scene element count to be a multiple of
   TILE*128 (true for 32^3+ grids).
 
-  On a multi-device pure-data mesh the kernel runs per batch shard under
-  shard_map (parallel/kernel_sharding.py); the returned [B] vectors stay
-  'data'-sharded and the caller's mean reduces them with XLA collectives.
+  On a multi-device mesh the kernel runs per shard under shard_map
+  (parallel/kernel_sharding.py): batch over 'data', and the voxel
+  dimension (dim 1) over a non-trivial 'space' axis — each device
+  reduces its voxel shard and the per-scene partials are psum'd over
+  'space' in-body. The returned [B] vectors stay 'data'-sharded and the
+  caller's mean reduces them with XLA collectives.
   """
   b = diff.shape[0]
   n = diff.size // b
@@ -120,25 +123,51 @@ def fgbg_sums(diff: jnp.ndarray,   # float[B, ...] logit differences
     interpret = jax.default_backend() != "tpu"
 
   def call(d, g):
-    fn = _make_fn(d.shape[0], n, d.dtype.name, g.dtype.name,
-                  bool(interpret))
+    # Voxel count from the LOCAL shard: under 'space' sharding each
+    # device reduces n / space voxels.
+    fn = _make_fn(d.shape[0], d.size // d.shape[0], d.dtype.name,
+                  g.dtype.name, bool(interpret))
     return fn(d, g)
 
   kernel_sharding.trace_counters["fgbg"] += 1
-  mode = kernel_sharding.kernel_mode(b)
+  mode = _mode_for(b, diff.shape[1], n)
   if isinstance(mode, Mesh):
+    if mode.shape.get("space", 1) > 1:
+      from jax.sharding import PartitionSpec as P
+
+      def call_space(d, g):
+        inter, union = call(d, g)
+        return (jax.lax.psum(inter, "space"),
+                jax.lax.psum(union, "space"))
+
+      return kernel_sharding.map_with_specs(
+          call_space, mode,
+          in_specs=(P("data", "space"), P("data", "space")),
+          out_specs=(P("data"), P("data")))(diff, gt)
     return kernel_sharding.map_over_data(call, mode, n_in=2,
                                          n_out=2)(diff, gt)
   return call(diff, gt)
 
 
+def _mode_for(b, dim1, n):
+  """kernel_mode with fgbg's 'space' eligibility: the voxel axis (dim 1)
+  must divide over 'space' AND each shard's element count must stay a
+  multiple of 8*128 (the kernel's row contract)."""
+  mode = kernel_sharding.kernel_mode(b, n=dim1, allow_space=True)
+  if isinstance(mode, Mesh):
+    sp = mode.shape.get("space", 1)
+    if sp > 1 and (n // sp) % (8 * 128):
+      return None
+  return mode
+
+
 def use_fgbg_kernel(logits: jnp.ndarray, weights) -> bool:
   b = logits.shape[0]
   n = logits.size // b // logits.shape[-1]
-  # Multi-device: only under a registered pure-data mesh (shard_map wraps
-  # the kernel per batch shard); 'space'-sharded meshes keep the XLA
-  # lowering, which partitions spatially.
+  # Multi-device: under a registered mesh the kernel shard_maps over
+  # 'data' (per batch shard) and, when eligible, over 'space' too (per
+  # voxel shard with psum'd partial sums).
   return (weights is None and logits.shape[-1] == 2
           and n % (8 * 128) == 0
           and kernel_sharding.backend_ok()
-          and kernel_sharding.kernel_mode(b) is not None)
+          and _mode_for(b, logits.shape[1], n) is not None)

@@ -195,17 +195,26 @@ def skip_gather(fmap_padded: jnp.ndarray,   # [B, H2, W2, C] float
   """Gathers fmap_padded[b, py, px, :] for each index pair.
 
   Returns [B, N, C] in fmap_padded's dtype; differentiable wrt
-  fmap_padded (indices get no gradient). On a multi-device pure-data
-  mesh the kernel (and its matmul backward) runs per batch shard under
-  shard_map (parallel/kernel_sharding.py).
+  fmap_padded (indices get no gradient). On a multi-device mesh the
+  kernel (and its matmul backward) runs per shard under shard_map
+  (parallel/kernel_sharding.py): batch over 'data', and — because the
+  kernel grids over flat voxel blocks — N over a non-trivial 'space'
+  axis too, with the feature map space-replicated (its cotangent is
+  psum'd over 'space' by shard_map's transpose).
   """
   b = fmap_padded.shape[0]
   if interpret is None:
     interpret = jax.default_backend() != "tpu"
   core = functools.partial(_gather_local, interpret=bool(interpret))
   kernel_sharding.trace_counters["skip_gather"] += 1
-  mode = kernel_sharding.kernel_mode(b)
+  mode = kernel_sharding.kernel_mode(b, n=px.shape[1], allow_space=True)
   if isinstance(mode, Mesh):
+    from jax.sharding import PartitionSpec as P
+    if mode.shape.get("space", 1) > 1:
+      return kernel_sharding.map_with_specs(
+          core, mode,
+          in_specs=(P("data"), P("data", "space"), P("data", "space")),
+          out_specs=P("data", "space"))(fmap_padded, px, py)
     return kernel_sharding.map_over_data(core, mode, n_in=3)(
         fmap_padded, px, py)
   return core(fmap_padded, px, py)

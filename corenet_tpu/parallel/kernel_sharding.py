@@ -16,9 +16,20 @@ over 'data' — every device runs the compiled kernel on its local batch
 shard, and the surrounding jitted program keeps XLA's automatic sharding
 propagation (the gradient psum etc. are unaffected).
 
-Under a non-trivial 'space' axis the kernels still fall back to the XLA
-paths: their outputs would need to be space-sharded, which a
-batch-gridded kernel cannot produce shard-locally.
+Two of the kernels also stay active under a non-trivial 'space' axis
+(the spatial grid sharding, SURVEY §5's long-context analogue), because
+their voxel dimension is itself shardable:
+
+  * skip_gather grids over flat voxel blocks — each device gathers its
+    local voxel shard from the (space-replicated) feature map, and
+    shard_map's transpose psums the feature-map cotangent over 'space';
+  * fgbg_sums reduces voxels to per-scene scalars — each device reduces
+    its shard and psums the partial sums over 'space' in-body.
+
+The remaining kernels (block_scatter / the blocked rasterizer,
+phased_gt) keep the XLA fallback under 'space': their outputs are whole
+per-scene grids a batch-gridded kernel cannot produce shard-locally
+(and the phase-loss path is single-shard by contract).
 
 The registry is process-global by design: a process trains over exactly
 one mesh (TrainPipeline registers it at construction; make_train_step
@@ -64,30 +75,42 @@ def backend_ok() -> bool:
   return jax.default_backend() == "tpu" or force_kernels()
 
 
-def kernel_mode(batch: Optional[int]) -> Union[str, Mesh, None]:
+def kernel_mode(batch: Optional[int],
+                n: Optional[int] = None,
+                allow_space: bool = False) -> Union[str, Mesh, None]:
   """How a batch-gridded Pallas kernel can run right now.
+
+  Args:
+    batch: global batch size (None skips the divisibility check, for
+      static eligibility queries before the batch size is known).
+    n: per-scene voxel/element count of the kernel's shardable voxel
+      dimension (required with allow_space on a 'space'-sharded mesh).
+    allow_space: the kernel supports sharding its voxel dimension over
+      a non-trivial 'space' axis (skip_gather, fgbg_sums).
 
   Returns:
     'direct'  — single device: call the kernel directly.
-    a Mesh    — wrap the kernel in shard_map over this mesh's 'data' axis.
-    None      — no safe mapping (multi-device without a registered
-                pure-data mesh, non-trivial 'space' axis, or a batch that
-                does not divide over 'data'): use the XLA fallback.
-
-  `batch` None skips the divisibility check (for static eligibility
-  queries before the batch size is known).
+    a Mesh    — wrap the kernel in shard_map over this mesh ('data'
+                only, or 'data'+'space' when allow_space and the mesh
+                has a non-trivial 'space' axis — inspect mesh.shape).
+    None      — no safe mapping: use the XLA fallback.
   """
   if jax.device_count() == 1:
     return "direct"
   mesh = _mesh
   if mesh is None:
     return None
-  if any(s > 1 for name, s in mesh.shape.items() if name != "data"):
+  if any(s > 1 for name, s in mesh.shape.items()
+         if name not in ("data", "space")):
     return None
+  space = mesh.shape.get("space", 1)
+  if space > 1:
+    if not allow_space or n is None or n % space:
+      return None
   data = mesh.shape.get("data", 1)
-  if data <= 1:
+  if data <= 1 and space <= 1:
     return "direct"
-  if batch is not None and batch % data:
+  if batch is not None and data > 1 and batch % data:
     return None
   return mesh
 
@@ -101,4 +124,11 @@ def map_over_data(fn, mesh: Mesh, n_in: int, n_out: int = 1):
                                                 range(n_out))
   return jax.shard_map(fn, mesh=mesh,
                        in_specs=tuple(P("data") for _ in range(n_in)),
+                       out_specs=out_specs, check_vma=False)
+
+
+def map_with_specs(fn, mesh: Mesh, in_specs, out_specs):
+  """shard_map with explicit per-argument specs (the 'space'-capable
+  kernels shard their voxel dimension too). check_vma off as above."""
+  return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)

@@ -31,6 +31,14 @@ def data_mesh():
   kernel_sharding.register_mesh(None)
 
 
+@pytest.fixture
+def space_mesh():
+  mesh = mesh_lib.create_mesh(data=2, space=2, devices=jax.devices()[:4])
+  kernel_sharding.register_mesh(mesh)
+  yield mesh
+  kernel_sharding.register_mesh(None)
+
+
 def _reset_counters():
   for k in kernel_sharding.trace_counters:
     kernel_sharding.trace_counters[k] = 0
@@ -49,6 +57,13 @@ def test_kernel_mode_gates():
                                       devices=jax.devices()[:4])
     kernel_sharding.register_mesh(space_mesh)
     assert kernel_sharding.kernel_mode(8) is None  # non-trivial 'space'
+    # 'space'-capable kernels: eligible when the voxel dim divides.
+    assert kernel_sharding.kernel_mode(
+        8, n=4096, allow_space=True) is space_mesh
+    assert kernel_sharding.kernel_mode(
+        8, n=4095, allow_space=True) is None  # 4095 % 2 != 0
+    assert kernel_sharding.kernel_mode(
+        8, n=None, allow_space=True) is None  # space needs n
   finally:
     kernel_sharding.register_mesh(None)
 
@@ -99,6 +114,60 @@ def test_fgbg_sums_shard_map_matches_direct(data_mesh):
   ds = jax.device_put(diff, mesh_lib.batch_sharding(data_mesh))
   gs = jax.device_put(gt, mesh_lib.batch_sharding(data_mesh))
   v, g = jax.jit(jax.value_and_grad(loss))(ds, gs)
+
+  tt.assert_allclose(float(ref_v), float(v), rtol=1e-6)
+  tt.assert_allclose(np.asarray(ref_g), np.asarray(g), atol=1e-7)
+
+
+def test_skip_gather_space_mesh_matches_direct(space_mesh):
+  """('data', 'space') mesh: the kernel shards the voxel dim over
+  'space'; forward exact, and the feature-map gradient (psum'd over
+  'space' by shard_map's transpose) matches the unsharded kernel."""
+  from corenet_tpu.ops.skip_gather import skip_gather
+  rng = np.random.RandomState(2)
+  b, h2, w2, c = 4, 34, 34, 12
+  n = 4096
+  fmap = jnp.asarray(rng.randn(b, h2, w2, c).astype(np.float32))
+  px = jnp.asarray(rng.randint(0, w2, (b, n)), jnp.int32)
+  py = jnp.asarray(rng.randint(0, h2, (b, n)), jnp.int32)
+
+  def loss(f, fn):
+    return (fn(f, px, py) ** 2).sum()
+
+  kernel_sharding.register_mesh(None)
+  direct = skip_gather(fmap, px, py, interpret=True)
+  g_direct = jax.grad(lambda f: loss(f, lambda *a: skip_gather(
+      *a, interpret=True)))(fmap)
+
+  kernel_sharding.register_mesh(space_mesh)
+  sharded = jax.jit(lambda f: skip_gather(f, px, py,
+                                          interpret=True))(fmap)
+  g_sharded = jax.jit(jax.grad(lambda f: loss(f, lambda *a: skip_gather(
+      *a, interpret=True))))(fmap)
+
+  tt.assert_array_equal(np.asarray(direct), np.asarray(sharded))
+  tt.assert_allclose(np.asarray(g_direct), np.asarray(g_sharded),
+                     rtol=1e-6, atol=1e-6)
+
+
+def test_fgbg_sums_space_mesh_matches_direct(space_mesh):
+  """('data', 'space') mesh: per-shard partial sums psum'd over 'space'
+  equal the unsharded sums; gradients flow through the custom VJP."""
+  from corenet_tpu.ops.fgbg_loss import fgbg_sums
+  rng = np.random.RandomState(3)
+  b, n = 4, 16 * 16 * 16
+  diff = jnp.asarray(rng.randn(b, n).astype(np.float32))
+  gt = jnp.asarray((rng.rand(b, n) > 0.5).astype(np.int32))
+
+  def loss(d, g):
+    inter, union = fgbg_sums(d, g, interpret=True)
+    return (1.0 - inter / union).mean()
+
+  kernel_sharding.register_mesh(None)
+  ref_v, ref_g = jax.value_and_grad(loss)(diff, gt)
+
+  kernel_sharding.register_mesh(space_mesh)
+  v, g = jax.jit(jax.value_and_grad(loss))(diff, gt)
 
   tt.assert_allclose(float(ref_v), float(v), rtol=1e-6)
   tt.assert_allclose(np.asarray(ref_g), np.asarray(g), atol=1e-7)
@@ -174,4 +243,50 @@ def test_train_step_fast_paths_taken_on_data_mesh(data_mesh, monkeypatch):
   # The kernels are algorithmically exact (one-hot matmul gather is
   # bit-exact; the loss sums reduce in f32): fast and fallback steps see
   # the same loss to float tolerance.
+  tt.assert_allclose(losses[True], losses[False], rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_train_step_fast_paths_taken_on_space_mesh(space_mesh, monkeypatch):
+  """The production step on a (data=2, space=2) mesh: the
+  'space'-capable kernels (skip gather, FG_BG loss) are TAKEN, and the
+  loss equals the XLA-fallback step on the same mesh."""
+  monkeypatch.setenv("CORENET_FORCE_KERNELS", "1")
+  from corenet_tpu.models import skip as skip_mod
+  monkeypatch.setattr(skip_mod, "_PALLAS_MIN_N", 1024)
+  from corenet_tpu.models.corenet import CoreNet, CoreNetConfig, DecoderConfig
+  from corenet_tpu.train import state as state_lib
+  from corenet_tpu.train.step import make_train_step
+  from __graft_entry__ import _example_inputs
+
+  model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
+      resolution=RESOLUTION, num_output_channels=2)))
+  optimizer = state_lib.create_optimizer()
+  image = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+  variables = jax.jit(lambda: model.init(
+      jax.random.PRNGKey(0), image, jnp.eye(4)[None],
+      jnp.full((1, 3), 0.5), train=False))()
+  vox = dict(image_resolution_multiplier=8, max_bbox_pixels=24,
+             conservative_rasterization=False)
+  inputs = _example_inputs(4, 64, RESOLUTION)
+
+  losses = {}
+  for forced in (True, False):
+    monkeypatch.setenv("CORENET_FORCE_KERNELS", "1" if forced else "0")
+    state = state_lib.create_train_state(variables, optimizer)
+    state = mesh_lib.replicate_tree(space_mesh, state)
+    step = make_train_step(model, optimizer, "FG_BG", RESOLUTION,
+                           voxelization_kwargs=dict(vox), donate=False,
+                           mesh=space_mesh)
+    batch = mesh_lib.shard_batch(space_mesh, inputs)
+    _reset_counters()
+    new_state, metrics = step(state, batch)
+    losses[forced] = float(jax.device_get(metrics["loss"]))
+    assert int(new_state.global_step) == 4
+    c = kernel_sharding.trace_counters
+    if forced:
+      assert c["skip_gather"] > 0, c
+      assert c["fgbg"] > 0, c
+    else:
+      assert c["skip_gather"] == 0 and c["fgbg"] == 0, c
   tt.assert_allclose(losses[True], losses[False], rtol=2e-5)
