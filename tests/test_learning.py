@@ -29,10 +29,24 @@ RESOLUTION = (32, 32, 32)
 
 
 def _two_scene_batch():
-  """Two distinct closed scenes (different cube sizes/offsets)."""
-  scenes = [cube_mesh(0.28, 0.62), cube_mesh(0.42, 0.78)]
-  num_tri = 12
-  tris = np.stack(scenes).astype(np.float32)
+  """Two distinct closed scenes (different cube sizes/offsets).
+
+  The triangles are subdivided to the windowed rasterizer's contract
+  (max_bbox_pixels=24 at irm=8): raw 12-triangle cubes have ~90-pixel
+  bboxes that the per-triangle window would clip, producing corrupt
+  shell-fragment GT (a few dozen voxels instead of the solid ~1700) —
+  the production data pipeline (data/batching.py) subdivides exactly the
+  same way."""
+  from corenet_tpu.data.batching import subdivide_triangles
+  max_edge = (24 - 4) / 8 / RESOLUTION[0]
+  subs = [subdivide_triangles(cube_mesh(0.28, 0.62), max_edge),
+          subdivide_triangles(cube_mesh(0.42, 0.78), max_edge)]
+  num_tri = max(len(s) for s in subs)
+  tris = np.zeros((2, num_tri, 3, 3), np.float32)
+  valid = np.zeros((2, num_tri), bool)
+  for i, s in enumerate(subs):
+    tris[i, :len(s)] = s
+    valid[i, :len(s)] = True
   rng = np.random.RandomState(3)
   image = (rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
   return {
@@ -41,7 +55,7 @@ def _two_scene_batch():
                                 (2, 4, 4)).copy(),
       "triangles": tris,
       "tri_mesh_slot": np.zeros((2, num_tri), np.int32),
-      "tri_valid": np.ones((2, num_tri), bool),
+      "tri_valid": valid,
       "mesh_labels": np.ones((2, 1), np.int32),
       "grid_offset": np.full((2, 3), 0.5, np.float32),
   }
@@ -55,7 +69,7 @@ def test_overfit_two_scenes_raster_gt():
   batch = {k: jnp.asarray(v) for k, v in _two_scene_batch().items()}
 
   variables = jax.jit(lambda: model.init(
-      jax.random.PRNGKey(0), batch["image"], jnp.eye(4)[None],
+      jax.random.PRNGKey(0), batch["image"][:1], jnp.eye(4)[None],
       jnp.full((1, 3), 0.5), train=False))()
   state = state_lib.create_train_state(variables, optimizer)
   step = make_train_step(
