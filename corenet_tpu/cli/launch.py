@@ -34,7 +34,7 @@ class ProgramArgs:
   num_retries: int = flags.flag("Relaunches after failure", default=3)
   retry_wait_sec: float = flags.flag("Seconds to wait before a retry",
                                      default=90.0)
-  command: List[str] = flags.flag("The command to supervise",
+  command: List[str] = flags.flag("The command to supervise", default=[],
                                   kind=flags.ArgKind.REMAINDER)
 
 
