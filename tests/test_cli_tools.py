@@ -88,40 +88,45 @@ def test_train_cli_then_demo(tmp_path):
   tile — covering cli/train.main and cli/demo.main as entry points."""
   import json
   from helpers import make_fixture_dataset
-  from corenet_tpu.cli import demo, train as train_cli
+  from corenet_tpu.cli import demo, eval as eval_cli, train as train_cli
   from corenet_tpu.config import config_to_dict
   from corenet_tpu.config import TrainPipeline as TrainPipelineConfig
   from corenet_tpu.config.config import (
-      TrainConfig, Dataset, DataPipeline, DataLoaderConfig, ShuffleType,
-      VoxelizationConfig, TaskType, Resolution)
+      TrainConfig, Dataset, DataPipeline, DataLoaderConfig, EvalConfig,
+      RecurrentEvalConfig, ShuffleType, VoxelizationConfig, TaskType,
+      Resolution)
 
   manifest, meshes_dir = make_fixture_dataset(str(tmp_path / "ds"),
                                               num_scenes=8, image_size=64)
   out = str(tmp_path / "out")
+
+  def data_pipeline(batch_size):
+    return DataPipeline(
+        datasets=[Dataset(dataset_path=manifest, meshes_dir=meshes_dir,
+                          high_realism=True, shuffle=ShuffleType.NEVER)],
+        shuffle=ShuffleType.NEVER,
+        data_loader=DataLoaderConfig(batch_size=batch_size,
+                                     num_data_workers=0),
+        voxelization_config=VoxelizationConfig(
+            task_type=TaskType.SEMANTIC,
+            resolution=Resolution(32, 32, 32),
+            voxelization_image_resolution_multiplier=2))
+
   config = TrainPipelineConfig(
       string_templates=[],
       train=TrainConfig(
-          data=DataPipeline(
-              datasets=[Dataset(dataset_path=manifest,
-                                meshes_dir=meshes_dir,
-                                high_realism=True,
-                                shuffle=ShuffleType.NEVER)],
-              shuffle=ShuffleType.NEVER,
-              # The default mesh spans all (8 virtual) devices: the
-              # batch must divide the 'data' extent.
-              data_loader=DataLoaderConfig(batch_size=8,
-                                           num_data_workers=0),
-              voxelization_config=VoxelizationConfig(
-                  task_type=TaskType.SEMANTIC,
-                  resolution=Resolution(32, 32, 32),
-                  voxelization_image_resolution_multiplier=2)),
+          # The default mesh spans all (8 virtual) devices: the batch
+          # must divide the 'data' extent.
+          data=data_pipeline(8),
           resnet50_imagenet_checkpoint="",
           checkpoint_interval=8,
           persistent_checkpoint_interval=1000,
           tensorboard_log_interval=100,
           initial_learning_rate=4e-4,
           max_steps=8),
-      eval=[],
+      eval=[RecurrentEvalConfig(
+          start_step=0, interval=10 ** 9, persistent_checkpoint=False,
+          config=EvalConfig(name="cli_eval", data=data_pipeline(8)))],
       output_path=out)
   config_path = str(tmp_path / "config.json5")
   with open(config_path, "w") as f:
@@ -141,3 +146,12 @@ def test_train_cli_then_demo(tmp_path):
   import PIL.Image
   img = np.asarray(PIL.Image.open(png))
   assert img.ndim == 3 and img.shape[0] > 0 and img.shape[2] == 3
+
+  # cli/eval: reconstruct configs from the checkpoint metadata, run the
+  # matching recurrent eval, write voxel_metrics.csv.
+  eval_out = str(tmp_path / "eval_out")
+  eval_cli.main([f"--checkpoint_path={os.path.join(cpt_dir, cpts[-1])}",
+                 f"--output_path={eval_out}",
+                 "--eval_names_regex=cli_eval"])
+  csv = os.path.join(eval_out, "cli_eval", "8", "voxel_metrics.csv")
+  assert os.path.exists(csv), csv
