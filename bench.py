@@ -121,6 +121,8 @@ def _cost_only_subprocess(**kwargs):
     args.append("--no-packed")
   if kwargs["phase"]:
     args.append("--phase")
+  if kwargs.get("pfs") is not None:
+    args += ["--pfs", str(kwargs["pfs"])]
   try:
     out = subprocess.run(args, capture_output=True, timeout=900)
     flops = _json.loads(out.stdout.decode().strip().splitlines()[-1])["flops"]
@@ -246,7 +248,7 @@ def run_variant(*, gt, tris, batch, image_size, windows, steps, warmup,
       else:
         flops_per_step = _cost_only_subprocess(
             gt=gt, tris=tris, batch=batch, image_size=image_size,
-            packed=packed, phase=phase)
+            packed=packed, phase=phase, pfs=pfs)
     except Exception as e:  # cost analysis is best-effort diagnostics
       log(f"[bench] cost analysis unavailable: {e}")
     state, metrics = train_step(state, batch_on_mesh)

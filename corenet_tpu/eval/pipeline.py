@@ -79,6 +79,7 @@ class EvalPipeline:
         conservative_rasterization=vc.conservative_rasterization,
         projection_depth_multiplier=vc.voxelization_projection_depth_multiplier,
         max_bbox_pixels=VOXELIZE_WINDOW_PIXELS,
+        num_label_values=len(self.classes),
     ))
 
   def run_eval(self, global_step: int,

@@ -49,14 +49,16 @@ def visualize_scene_output(input_image: np.ndarray,
   near-noise case never pays for (or allocates) the full extraction."""
   pred_labels = np.argmax(pmf, axis=-1).astype(np.int32)
   pmf_f = np.asarray(pmf, np.float32)
-  # Active cells emit ~2-6 triangles each (≤12); ×4 approximates the
-  # extraction size well enough to gate on, and the exact post-check
-  # below still enforces the cap for rendering.
+  # Every active cell emits at least one triangle, so `cells > cap` is a
+  # sound reason to skip extraction outright (the near-noise case this
+  # guard exists for has millions of cells); anything under that bound
+  # extracts — allocation is proportional to the actual (≤ ~6·cells)
+  # count — and the exact post-check below still enforces the cap.
   est_cells = sum(
       isosurface.count_active_cells(isosurface.box_filter3d(pmf_f[..., c], 1))
       for c in range(1, pmf_f.shape[-1]))
   surface = None
-  if est_cells * 4 <= max_surface_triangles:
+  if est_cells <= max_surface_triangles:
     surface = art.MeshSurfaceArtifact(pmf, grid_to_world=grid_to_view)
     if sum(m.shape[0] for m in surface.meshes) > max_surface_triangles:
       surface = None

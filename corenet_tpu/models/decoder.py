@@ -77,7 +77,11 @@ class ReconstructionDecoder(nn.Module):
     assert depth % div == 0 and height % div == 0 and width % div == 0
     ir = (depth // div, height // div, width // div)
     packed = self.packed
-    pfs = min(max(self.pack_from_stage, 2), 6) if packed else 99
+    if packed:
+      # 2 = pack everything; 6 = only the last tower. Out-of-range values
+      # error rather than silently running a different configuration.
+      assert 2 <= self.pack_from_stage <= 6, self.pack_from_stage
+    pfs = self.pack_from_stage if packed else 99
     if packed:
       pack_sp = tuple(v * 2 ** (pfs - 2) for v in ir)
       assert self.last_upscale_factor == 2 and all(

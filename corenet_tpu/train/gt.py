@@ -83,6 +83,22 @@ def voxelize_scene(triangles: jnp.ndarray,
   return jnp.max(labeled, axis=0).astype(jnp.int32)
 
 
+def _view2voxel_uniform(grid_offsets, m, num_mesh_slots):
+  """Per-scene world→voxel transform scale(m) + grid-offset shift,
+  broadcast over mesh slots (all slots share one matrix — the blocked
+  rasterizer's uniform_mats contract). [B, M, 4, 4]."""
+  b = grid_offsets.shape[0]
+  shift = grid_offsets - 0.5  # [B, 3]
+  w2x = jnp.concatenate([
+      jnp.concatenate(
+          [jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * m, (b, 3, 3)),
+           shift[:, :, None]], axis=2),
+      jnp.broadcast_to(jnp.array([[[0.0, 0.0, 0.0, 1.0]]], jnp.float32),
+                       (b, 1, 4)),
+  ], axis=1)  # [B, 4, 4]
+  return jnp.broadcast_to(w2x[:, None], (b, num_mesh_slots, 4, 4))
+
+
 def _blocked_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
                    grid_offsets, *, resolution,
                    image_resolution_multiplier,
@@ -92,16 +108,7 @@ def _blocked_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
   d, h, w = resolution
   m = float(max(d, h, w))
   b, num_mesh_slots = mesh_labels.shape
-
-  shift = grid_offsets - 0.5  # [B, 3]
-  w2x = jnp.concatenate([
-      jnp.concatenate(
-          [jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * m, (b, 3, 3)),
-           shift[:, :, None]], axis=2),
-      jnp.broadcast_to(jnp.array([[[0.0, 0.0, 0.0, 1.0]]], jnp.float32),
-                       (b, 1, 4)),
-  ], axis=1)  # [B, 4, 4]
-  view2voxel = jnp.broadcast_to(w2x[:, None], (b, num_mesh_slots, 4, 4))
+  view2voxel = _view2voxel_uniform(grid_offsets, m, num_mesh_slots)
 
   # uint8 end to end: the label values fit a byte (<=255 classes), and
   # every fine-resolution pass after the bit-packed voxelization (label
@@ -150,15 +157,7 @@ def voxelize_batch_packed_fgbg(triangles, tri_mesh_slot, tri_valid,
   v2x = jnp.broadcast_to(
       jnp.diag(jnp.array([m, m, m, 1.0], jnp.float32)), (b, 4, 4))
 
-  shift = grid_offsets - 0.5
-  w2x = jnp.concatenate([
-      jnp.concatenate(
-          [jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * m, (b, 3, 3)),
-           shift[:, :, None]], axis=2),
-      jnp.broadcast_to(jnp.array([[[0.0, 0.0, 0.0, 1.0]]], jnp.float32),
-                       (b, 1, 4)),
-  ], axis=1)
-  view2voxel = jnp.broadcast_to(w2x[:, None], (b, num_mesh_slots, 4, 4))
+  view2voxel = _view2voxel_uniform(grid_offsets, m, num_mesh_slots)
 
   packed = raster_fast.voxelize_blocked_packed(
       triangles, tri_mesh_slot, view2voxel, tri_valid,
@@ -186,10 +185,19 @@ def voxelize_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
   the production h5/h7/m7/m9 settings do — and otherwise falls back to a
   vmap of the general rasterizer.
 
-  Returns (grid int32[B, D, H, W], v2x float32[B, 4, 4]) where v2x is the
-  *unshifted* world→voxel transform scale(max(D,H,W)), matching the
-  v2x_transform the reference stores on the batch (batched_example.py:197)
-  and later inverts for the model's voxel→screen matrix (pipeline.py:220).
+  Returns (grid [B, D, H, W] — int32 on the general path, uint8 on the
+  blocked fast path (label VALUES are identical; the fast path keeps the
+  grid a byte so every fine-resolution pass after it moves 1/4 the
+  data) — and v2x float32[B, 4, 4]), where v2x is the *unshifted*
+  world→voxel transform scale(max(D,H,W)), matching the v2x_transform
+  the reference stores on the batch (batched_example.py:197) and later
+  inverts for the model's voxel→screen matrix (pipeline.py:220).
+
+  num_label_values: pass the number of distinct label values (e.g.
+  1 + num_classes) when it is statically known; the uint8 fast path is
+  skipped at >= 256 labels (a byte cannot hold them — no production
+  dataset comes close, but the general path stays correct for any
+  count). When omitted, labels are assumed to fit a byte.
   """
   d, h, w = kwargs["resolution"]
   m = float(max(d, h, w))
@@ -197,7 +205,9 @@ def voxelize_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
   v2x = jnp.broadcast_to(
       jnp.diag(jnp.array([m, m, m, 1.0], jnp.float32)), (b, 4, 4))
 
-  if raster_fast.blocked_eligible(
+  num_label_values = kwargs.pop("num_label_values", None)
+  if (num_label_values is None or num_label_values <= 256
+     ) and raster_fast.blocked_eligible(
       resolution=kwargs["resolution"],
       sub_grid_sampling=kwargs.get("sub_grid_sampling", False),
       image_resolution_multiplier=kwargs.get(

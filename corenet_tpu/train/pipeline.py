@@ -155,6 +155,17 @@ class TrainPipeline:
         config.initial_learning_rate, config.adam_epsilon)
 
     irm = vc.voxelization_image_resolution_multiplier
+    if jax.process_count() > 1 and gt_algorithm == "raster":
+      # Not silent: the static count is exact for every mesh whose
+      # boundary-connected cavities resolve within FILL_ROUNDS_STATIC
+      # straight-line sweeps (real meshes take 2-3); a pathological
+      # winding tunnel with more turns would under-fill, so surface the
+      # choice in the logs (single-process runs use the adaptive
+      # fixpoint, which is exact for any mesh).
+      log.info("multi-process raster GT uses a static %d-round interior "
+               "fill (adaptive fixpoint would desync the hosts' "
+               "collective schedules); raise FILL_ROUNDS_STATIC for "
+               "deeply coiled meshes", FILL_ROUNDS_STATIC)
     self.train_step = make_train_step(
         self.model, self.optimizer, self.task_type, self.resolution,
         voxelization_kwargs=dict(
@@ -167,6 +178,7 @@ class TrainPipeline:
             max_bbox_pixels=VOXELIZE_WINDOW_PIXELS,
             fill_rounds=(FILL_ROUNDS_STATIC if jax.process_count() > 1
                          else None),
+            num_label_values=len(self.classes),
         ),
         # With a non-trivial 'space' axis the GT grid and logits are
         # constrained to P('data', 'space') inside the step, so the 3D

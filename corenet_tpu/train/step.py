@@ -112,6 +112,14 @@ def make_train_step(model,
     return jax.lax.with_sharding_constraint(x, space_sharding)
 
   def step(state: TrainState, batch: Batch):
+    if mesh is not None:
+      # Re-bind at TRACE time: the registry is process-global, and a
+      # second pipeline with a different mesh may have re-registered
+      # between this step's construction and its first call — the
+      # kernels consult the registry inside the trace, so each trace
+      # must pin its own mesh (runtime calls never re-run this).
+      from corenet_tpu.parallel import kernel_sharding
+      kernel_sharding.register_mesh(mesh)
     gp_gt = None  # phased u8 GT from the bit-packed fast path
     if "grid" in batch:
       grid, v2x = batch["grid"], batch["v2x"]
