@@ -47,13 +47,61 @@ against the hardware ceiling, not only the V100 proxy (BASELINE.md).
 
 import argparse
 import json
+import os
 import statistics
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 V100_BASELINE_SCENES_PER_SEC = 8.0
+
+# Backend-init robustness (round 3 lost its number to a raw traceback when
+# the axon tunnel was down — BENCH_r03.json parsed=null). The backend is
+# probed in a SUBPROCESS (jax caches a failed backend init for the life of
+# the process, and a half-up tunnel can make jax.devices() hang forever,
+# so neither retry-in-process nor an unbounded first call is safe), with
+# bounded retry + backoff. On permanent failure main() emits a parseable
+# one-line JSON error record instead of a traceback.
+BACKEND_PROBE_TIMEOUT_SECS = int(
+    os.environ.get("CORENET_BENCH_PROBE_TIMEOUT", "240"))
+BACKEND_RETRY_BUDGET_SECS = int(
+    os.environ.get("CORENET_BENCH_RETRY_BUDGET", "900"))
+
+
+def probe_backend() -> tuple[bool, str]:
+  """Retries backend init in short subprocesses until it works or the
+  budget is spent. Returns (ok, diagnostic)."""
+  code = ("import jax; ds = jax.devices(); "
+          "print('BACKEND_OK', len(ds), ds[0].platform, "
+          "getattr(ds[0], 'device_kind', '?'))")
+  deadline = time.monotonic() + BACKEND_RETRY_BUDGET_SECS
+  attempt, last = 0, "no attempt"
+  while True:
+    attempt += 1
+    t0 = time.monotonic()
+    try:
+      out = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=BACKEND_PROBE_TIMEOUT_SECS)
+      tail = (out.stdout + out.stderr).strip().splitlines()
+      if out.returncode == 0 and any("BACKEND_OK" in l for l in tail):
+        ok_line = [l for l in tail if "BACKEND_OK" in l][-1]
+        log(f"[bench] backend probe ok (attempt {attempt}): {ok_line}")
+        return True, ok_line
+      last = tail[-1] if tail else f"rc={out.returncode}, no output"
+    except subprocess.TimeoutExpired:
+      last = (f"probe hung >{BACKEND_PROBE_TIMEOUT_SECS}s "
+              "(backend init never returned)")
+    log(f"[bench] backend probe attempt {attempt} failed: {last}")
+    remaining = deadline - time.monotonic()
+    if remaining <= 0:
+      return False, last
+    backoff = min(30.0 * attempt, 120.0, remaining)
+    log(f"[bench] retrying backend probe in {backoff:.0f}s "
+        f"({remaining:.0f}s of budget left)")
+    time.sleep(backoff)
 
 # Dense bf16 peak per chip (TFLOP/s), by jax device_kind prefix.
 PEAK_BF16_TFLOPS = {
@@ -336,6 +384,24 @@ def main():
               phase=args.phase, pfs=args.pfs)
     return
 
+  metric = ("train_scenes_per_sec_per_chip_128cubed_raster_gt"
+            if args.gt == "raster"
+            else "train_scenes_per_sec_per_chip_128cubed")
+
+  def emit_error(kind: str, detail: str):
+    # One parseable record even when the run cannot produce a number:
+    # value 0 / vs_baseline 0 cannot be mistaken for a passing result,
+    # and `error` carries the diagnosis (VERDICT r3 #2).
+    print(json.dumps({
+        "metric": metric, "value": 0.0, "unit": "scenes/sec/chip",
+        "vs_baseline": 0.0, "error": f"{kind}: {detail[:500]}"}))
+
+  ok, diag = probe_backend()
+  if not ok:
+    log("[bench] backend permanently unavailable; emitting error record")
+    emit_error("backend_unavailable", diag)
+    return
+
   if args.suite:
     for gt, tris in [("raster", 16), ("raster", 25000),
                      ("parity", 16), ("parity", 2500)]:
@@ -345,16 +411,20 @@ def main():
       log(f"[bench] SUITE gt={gt} tris={tris}: {v:.1f} scenes/s/chip "
           f"({v / V100_BASELINE_SCENES_PER_SEC:.2f}x)")
 
-  value, mfu, tflops = run_variant(
-      gt=args.gt, tris=args.tris, batch=args.batch,
-      image_size=args.image_size, windows=args.windows,
-      steps=args.steps, warmup=args.warmup, pfs=args.pfs,
-      profile_dir=args.profile, packed=args.packed,
-      phase=args.phase)
+  try:
+    value, mfu, tflops = run_variant(
+        gt=args.gt, tris=args.tris, batch=args.batch,
+        image_size=args.image_size, windows=args.windows,
+        steps=args.steps, warmup=args.warmup, pfs=args.pfs,
+        profile_dir=args.profile, packed=args.packed,
+        phase=args.phase)
+  except Exception as e:  # emit a diagnosable record, not a bare traceback
+    import traceback
+    traceback.print_exc(file=sys.stderr)
+    emit_error(type(e).__name__, str(e))
+    return
   result = {
-      "metric": "train_scenes_per_sec_per_chip_128cubed_raster_gt"
-                if args.gt == "raster"
-                else "train_scenes_per_sec_per_chip_128cubed",
+      "metric": metric,
       "value": round(value, 3),
       "unit": "scenes/sec/chip",
       "vs_baseline": round(value / V100_BASELINE_SCENES_PER_SEC, 3),
