@@ -120,6 +120,41 @@ class EvalPipeline:
         prefetch_factor=dl_cfg.prefetch_factor,
         max_edge_view=max_edge_view,
         worker_processes=None if dl_cfg.worker_processes else False)
+    # Eval is a PER-HOST program (each process runs its own dataset shard,
+    # with its own number of batches, on host-local arrays) — so any trace
+    # triggered inside this loop (the GT program, the inference forward)
+    # must not pick up a multi-host train mesh from the kernel registry:
+    # shard_map over non-addressable devices errors, and even a valid
+    # global program would deadlock once hosts' batch counts diverge.
+    # Scope the registry to a mesh that is safe for host-local execution
+    # (the registered mesh when fully addressable, else the local chips).
+    from corenet_tpu.parallel import kernel_sharding
+    with kernel_sharding.scoped_mesh(
+        kernel_sharding.mesh_for_host_local_programs()):
+      self._run_batches(loader, gt_fn, task_type, resolution, batch_size,
+                        quantitative, qualitative, global_step)
+
+    if qualitative is not None:
+      # Collective: every host participates in gathering the first-K
+      # tiles to host 0's TensorBoard (evaluation_results.py:166-182).
+      qualitative.write_summaries(global_step)
+    df = quantitative.compute_metrics()
+    if jax.process_index() == 0 and self.write_results:
+      out_dir = fs.join(self.output_dir, self.config.name, str(global_step))
+      quantitative.write_csv(fs.join(out_dir, "voxel_metrics.csv"))
+      log.info("Eval '%s' mIoU=%.4f", self.config.name,
+               quantitative.get_mean_iou())
+    if jax.process_index() == 0 and self.summary_writer is not None:
+      # Per-class IoU/Precision/Recall + General/* scalars, the
+      # reference's per-eval tensorboard stream
+      # (evaluation_results.py:213-238).
+      for name, value in quantitative.scalar_summaries().items():
+        self.summary_writer.add_scalar(name, value, global_step)
+      self.summary_writer.flush()
+    return quantitative.get_mean_iou() if df is not None else None
+
+  def _run_batches(self, loader, gt_fn, task_type, resolution, batch_size,
+                   quantitative, qualitative, global_step):
     for hb, valid in loader:
       inputs = hb.step_inputs(task_type)
       grid, v2x = gt_fn(inputs["triangles"], inputs["tri_mesh_slot"],
@@ -148,18 +183,3 @@ class EvalPipeline:
           qualitative.add_scene(
               hb.scene_ids[i], hb.image[i], pmf_np[i], grid_np[i], meshes,
               list(hb.mesh_labels[i]), np.linalg.inv(w2x), global_step)
-
-    df = quantitative.compute_metrics()
-    if jax.process_index() == 0 and self.write_results:
-      out_dir = fs.join(self.output_dir, self.config.name, str(global_step))
-      quantitative.write_csv(fs.join(out_dir, "voxel_metrics.csv"))
-      log.info("Eval '%s' mIoU=%.4f", self.config.name,
-               quantitative.get_mean_iou())
-    if jax.process_index() == 0 and self.summary_writer is not None:
-      # Per-class IoU/Precision/Recall + General/* scalars, the
-      # reference's per-eval tensorboard stream
-      # (evaluation_results.py:213-238).
-      for name, value in quantitative.scalar_summaries().items():
-        self.summary_writer.add_scalar(name, value, global_step)
-      self.summary_writer.flush()
-    return quantitative.get_mean_iou() if df is not None else None

@@ -75,6 +75,14 @@ def visualize_scene_output(input_image: np.ndarray,
 
 
 class QualitativeResults:
+  """Renders each host's shard to disk; the first-K tiles additionally go
+  to the host-0 summary writer via a cross-host gather in
+  `write_summaries` — the reference pickle-gathers its first-K rendered
+  scenes to rank 0's TensorBoard (evaluation_results.py:166-182); here
+  the gather is a fixed-shape `process_allgather` of the uint8 tiles
+  (the tile shape is deterministic: (1+4 cameras)·H rows x 5 artifacts·W
+  columns), so host 0's TB shows scenes owned by every host, not just
+  its own shard."""
 
   def __init__(self, output_dir: str, num_results: int,
                num_results_in_summary: int = 4, summary_writer=None,
@@ -85,6 +93,7 @@ class QualitativeResults:
     self.summary_writer = summary_writer
     self.image_size = image_size
     self.rendered = 0
+    self._summary_tiles = []
 
   def want_more(self) -> bool:
     return self.rendered < self.num_results
@@ -105,8 +114,37 @@ class QualitativeResults:
       fs.write_bytes(path, buf.getvalue())
     else:  # pragma: no cover
       np.save(path + ".npy", tile)
-    if (self.summary_writer is not None and
-        self.rendered < self.num_results_in_summary):
-      self.summary_writer.add_image(f"rec_{self.rendered}", tile,
-                                    global_step)
+    if len(self._summary_tiles) < self.num_results_in_summary:
+      self._summary_tiles.append(tile)
     self.rendered += 1
+
+  def write_summaries(self, global_step: int = 0) -> None:
+    """Writes the first-K tiles to the summary writer, gathering across
+    hosts first. COLLECTIVE under multi-process JAX: every process must
+    call it (with or without a writer) or the allgather deadlocks."""
+    import jax
+    tiles = self._summary_tiles
+    self._summary_tiles = []
+    k = self.num_results_in_summary
+    if k <= 0:
+      return
+    if jax.process_count() > 1:
+      from jax.experimental import multihost_utils
+      h, w = self.image_size
+      shape = (k, 5 * h, 5 * w, 3)  # visualize_artifacts layout
+      buf = np.zeros(shape, np.uint8)
+      for i, t in enumerate(tiles[:k]):
+        assert t.shape == shape[1:], (t.shape, shape)
+        buf[i] = t
+      count = np.asarray([min(len(tiles), k)], np.int32)
+      all_buf = np.asarray(multihost_utils.process_allgather(buf))
+      all_count = np.asarray(multihost_utils.process_allgather(count))
+      all_buf = all_buf.reshape((-1,) + shape)
+      all_count = all_count.reshape(-1)
+      tiles = [all_buf[p, i]
+               for p in range(all_buf.shape[0])
+               for i in range(int(all_count[p]))]
+    if self.summary_writer is None:
+      return
+    for i, tile in enumerate(tiles[:k]):
+      self.summary_writer.add_image(f"rec_{i}", tile, global_step)

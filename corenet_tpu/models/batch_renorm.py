@@ -100,19 +100,25 @@ class BatchRenorm(nn.Module):
 
       reduce_axes = tuple(range(x.ndim - 1))
       if x.dtype == jnp.bfloat16:
-        # One-pass statistics: E[x²] − mean² — both reduces share one
+        # SHIFTED one-pass statistics: E[(x−c)²] − (E[x−c])² with
+        # c = stop_gradient(running mean) — both reduces share one
         # streaming read of x (XLA multi-output fusion) instead of the
         # two-pass mean-then-centered-variance form, which re-reads the
-        # largest decoder tensors. Exact enough for bf16 activations
-        # (values exactly representable in the f32 accumulator; the
-        # cancellation error is far below bf16 resolution). The f32
-        # path keeps the two-pass form for reference bit-parity. The
-        # gradient is algebraically identical (d/dx = 2(x−mean)/N).
-        xf = x.astype(jnp.float32)
-        b_mean = fold(jnp.mean(xf, axis=reduce_axes))
+        # largest decoder tensors. The shift by c (a constant w.r.t. the
+        # reduce, one fused subtract per element) removes the
+        # catastrophic cancellation the naive E[x²]−mean² form hits
+        # when variance ≪ mean² (post-ReLU activations with large
+        # means): around x−c ≈ 0 both terms are small, so the subtract
+        # loses no significant bits. The f32 path keeps the two-pass
+        # form for reference bit-parity. The gradient is algebraically
+        # identical (d/dx = 2(x−mean)/N; c carries no gradient).
+        c = jax.lax.stop_gradient(ra_mean.value)  # f32 [C]
+        xf = x.astype(jnp.float32) - tile(c, jnp.float32)
+        m_shift = fold(jnp.mean(xf, axis=reduce_axes))
+        b_mean = m_shift + c
         b_var = jnp.maximum(
             fold(jnp.mean(jnp.square(xf), axis=reduce_axes))
-            - jnp.square(b_mean), 0.0)
+            - jnp.square(m_shift), 0.0)
       else:
         b_mean = fold(jnp.mean(x, axis=reduce_axes, dtype=jnp.float32))
         b_var = fold(jnp.mean(

@@ -33,6 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 DB = 8  # voxel block extent per axis
 
 
+GROUP = 8        # triangles per vectorized accumulation group
+UNIFORM = -3     # sentinel at slot 1 of a group whose origins are uniform
+
+
 def _kernel(origin_ref, pw_ref, out_ref, acc_ref, *, h, w, nw):
   lanes = w * nw
   chunk = origin_ref.shape[0]
@@ -78,7 +82,19 @@ def _kernel(origin_ref, pw_ref, out_ref, acc_ref, *, h, w, nw):
   # the former XLA-side log-doubling duplicate merge (~21 ms/step) at
   # zero extra passes over the data. Runs split across chunk boundaries
   # flush twice; the OR-scatter is idempotent so that stays correct.
-  def body(t, prev):
+  #
+  # The loop is GROUPED: block_scatter_or pre-marks (in plain XLA, nearly
+  # free) every GROUP-aligned group whose valid origins are all equal by
+  # rewriting slot 0 to the common origin and slot 1 to the UNIFORM
+  # sentinel. Such a group — the overwhelmingly common case once the
+  # production subdivision puts 10-50 triangles in every block run — is
+  # accumulated with one branch-free vector OR over the whole group
+  # (pw of origin<0 rows is all-zero by construction, raster_fast.py
+  # _phase_a, so uniform groups may contain skipped rows). Mixed groups
+  # take the per-element path. This removes the serial per-triangle
+  # scalar control flow that dominated heavy-scene GT (VERDICT r3 #3:
+  # ~8 ms at 12k tris/scene, linear in count).
+  def elem_body(t, prev):
     o = origin_ref[t]
 
     @pl.when((prev >= 0) & (o != prev))
@@ -98,7 +114,41 @@ def _kernel(origin_ref, pw_ref, out_ref, acc_ref, *, h, w, nw):
 
     return jnp.where(o >= 0, o, jnp.int32(-1))
 
-  last = jax.lax.fori_loop(0, chunk, body, jnp.int32(-1))
+  def group_body(g, prev):
+    o0 = origin_ref[g * GROUP]
+    uniform = origin_ref[g * GROUP + 1] == UNIFORM
+
+    def uniform_case(prev):
+      def occupied(prev):
+        blk = pw_ref[0, pl.ds(g * GROUP, GROUP)]  # [GROUP, 8, 8*nw]
+        acc_or = blk[0]
+        for i in range(1, GROUP):
+          acc_or = acc_or | blk[i]
+
+        @pl.when(o0 == prev)
+        def _():
+          acc_ref[:] |= acc_or
+
+        @pl.when(o0 != prev)
+        def _():
+
+          @pl.when(prev >= 0)
+          def _():
+            flush(prev)
+
+          acc_ref[:] = acc_or
+
+        return o0
+
+      # o0 < 0: every row in the group is a skip — leave prev/acc alone.
+      return jax.lax.cond(o0 >= 0, occupied, lambda p: p, prev)
+
+    def mixed_case(prev):
+      return jax.lax.fori_loop(g * GROUP, (g + 1) * GROUP, elem_body, prev)
+
+    return jax.lax.cond(uniform, uniform_case, mixed_case, prev)
+
+  last = jax.lax.fori_loop(0, chunk // GROUP, group_body, jnp.int32(-1))
 
   @pl.when(last >= 0)
   def _():
@@ -133,6 +183,20 @@ def block_scatter_or(origins: jnp.ndarray,  # int32[B, T]
   nc = t // chunk
   if interpret is None:
     interpret = jax.default_backend() != "tpu"
+
+  # Mark uniform groups for the kernel's vectorized accumulation path:
+  # a group all of whose VALID origins equal its max (rows with origin<0
+  # carry all-zero pw, so OR-ing them in is free) gets the common origin
+  # at slot 0 and the UNIFORM sentinel at slot 1. All-skip groups mark
+  # uniform with origin -1 and are skipped wholesale by the kernel.
+  og = origins.reshape(b, t // GROUP, GROUP)
+  vmax = og.max(-1)
+  uniform = jnp.all((og == vmax[..., None]) | (og < 0), axis=-1)
+  first = jnp.where(uniform, vmax, og[..., 0])
+  second = jnp.where(uniform, jnp.int32(UNIFORM), og[..., 1])
+  origins = jnp.concatenate(
+      [first[..., None], second[..., None], og[..., 2:]],
+      axis=-1).reshape(b, t)
 
   kernel = functools.partial(_kernel, h=h, w=w, nw=nw)
   return pl.pallas_call(

@@ -38,10 +38,12 @@ registers the mesh it is given). Kernels consult it at trace time.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Optional, Union
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 _mesh: Optional[Mesh] = None
@@ -61,6 +63,44 @@ def register_mesh(mesh: Optional[Mesh]) -> None:
 
 def registered_mesh() -> Optional[Mesh]:
   return _mesh
+
+
+@contextlib.contextmanager
+def scoped_mesh(mesh: Optional[Mesh]):
+  """Temporarily rebinds the registry — for traces that are NOT the
+  global SPMD train step. The registry is consulted at trace time, so any
+  per-host program (eval, demo) traced while the multi-host train mesh is
+  registered would shard_map over devices this process cannot address;
+  scope such traces to a safe mesh instead."""
+  global _mesh
+  prev = _mesh
+  _mesh = mesh
+  try:
+    yield
+  finally:
+    _mesh = prev
+
+
+def mesh_for_host_local_programs() -> Optional[Mesh]:
+  """The mesh a per-host (non-SPMD) program may shard_map over.
+
+  The train step is a global SPMD program launched in lockstep on every
+  host, so it may use the registered mesh even when that mesh spans
+  non-addressable devices. Eval and other per-host programs run on
+  host-local arrays with per-host trip counts — for those, the
+  registered mesh is only safe when this process addresses ALL of its
+  devices (single-process, or a single-host slice). Otherwise fall back
+  to a 'data' mesh over this process's local devices: every kernel keeps
+  its fast path on the local chips, and no program ever references a
+  remote device."""
+  mesh = _mesh
+  if mesh is not None:
+    my = jax.process_index()
+    if all(d.process_index == my for d in mesh.devices.flat):
+      return mesh
+  if jax.process_count() == 1:
+    return mesh
+  return Mesh(np.asarray(jax.local_devices()), ("data",))
 
 
 def force_kernels() -> bool:

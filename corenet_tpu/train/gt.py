@@ -102,9 +102,14 @@ def _view2voxel_uniform(grid_offsets, m, num_mesh_slots):
 def _blocked_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
                    grid_offsets, *, resolution,
                    image_resolution_multiplier,
-                   conservative_rasterization, fill_inside, fill_rounds):
+                   conservative_rasterization, fill_inside, fill_rounds,
+                   label_dtype=jnp.uint8):
   """Fast blocked path (voxel/raster_fast.py): subdivided triangles →
-  bit-packed Pallas block scatter → packed flood fill → labeled grid."""
+  bit-packed Pallas block scatter → packed flood fill → labeled grid.
+
+  label_dtype: uint8 when the caller attests the label values fit a byte
+  (num_label_values ≤ 256 — every production dataset); int32 otherwise
+  (same blocked scatter/fill, only the label compose pays full width)."""
   d, h, w = resolution
   m = float(max(d, h, w))
   b, num_mesh_slots = mesh_labels.shape
@@ -122,9 +127,9 @@ def _blocked_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
       fill_inside=fill_inside,
       fill_rounds=fill_rounds,
       uniform_mats=True,  # all slots share the per-scene scale+shift
-      dtype=jnp.uint8)  # u8[B, M, D, H, W]
-  labeled = mesh_grids * mesh_labels.astype(jnp.uint8)[:, :, None, None,
-                                                       None]
+      dtype=label_dtype)  # [B, M, D, H, W]
+  labeled = mesh_grids * mesh_labels.astype(label_dtype)[:, :, None, None,
+                                                         None]
   return jnp.max(labeled, axis=1)
 
 
@@ -194,10 +199,11 @@ def voxelize_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
   inverts for the model's voxel→screen matrix (pipeline.py:220).
 
   num_label_values: pass the number of distinct label values (e.g.
-  1 + num_classes) when it is statically known; the uint8 fast path is
-  skipped at >= 256 labels (a byte cannot hold them — no production
-  dataset comes close, but the general path stays correct for any
-  count). When omitted, labels are assumed to fit a byte.
+  1 + num_classes) when it is statically known; it attests that every
+  label fits a byte, enabling the uint8 compose (every fine-resolution
+  pass after the bit-packed voxelization then moves 1/4 the data). When
+  omitted, the blocked path still runs but composes labels in int32 —
+  label values can be anything, never silently wrapped (ADVICE r3).
   """
   d, h, w = kwargs["resolution"]
   m = float(max(d, h, w))
@@ -224,7 +230,9 @@ def voxelize_batch(triangles, tri_mesh_slot, tri_valid, mesh_labels,
         conservative_rasterization=kwargs.get(
             "conservative_rasterization", True),
         fill_inside=kwargs.get("fill_inside", True),
-        fill_rounds=kwargs.get("fill_rounds"))
+        fill_rounds=kwargs.get("fill_rounds"),
+        label_dtype=(jnp.uint8 if num_label_values is not None
+                     else jnp.int32))
     return grid, v2x
 
   fn = functools.partial(voxelize_scene, **kwargs)

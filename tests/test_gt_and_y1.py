@@ -292,3 +292,28 @@ def test_phased_gt_step_matches_xla_path(monkeypatch):
                       lambda *a, **k: False)
   loss_ref = run()
   np.testing.assert_allclose(loss_fast, loss_ref, rtol=1e-6)
+
+
+def test_voxelize_batch_large_labels_without_attestation():
+  """With num_label_values omitted, labels above 255 must survive (the
+  uint8 compose is opt-in via the attestation; ADVICE r3 — previously a
+  label of 300 silently wrapped to 44)."""
+  res = (32, 32, 32)
+  tris, slots, valid, labels, offsets = _scene_inputs()
+  big = jnp.full_like(labels, 300)
+  grid, _ = jax.jit(functools.partial(
+      gt_lib.voxelize_batch, resolution=res,
+      image_resolution_multiplier=8, conservative_rasterization=False,
+      max_bbox_pixels=24))(tris, slots, valid, big, offsets)
+  grid = np.asarray(grid)
+  assert grid.max() == 300, grid.max()
+  assert set(np.unique(grid)) == {0, 300}
+  # With the attestation the same call composes in uint8 (values ≤ 255).
+  grid8, _ = jax.jit(functools.partial(
+      gt_lib.voxelize_batch, resolution=res,
+      image_resolution_multiplier=8, conservative_rasterization=False,
+      max_bbox_pixels=24, num_label_values=4))(
+          tris, slots, valid, labels * 3, offsets)
+  grid8 = np.asarray(grid8)
+  assert grid8.dtype == np.uint8 and grid8.max() == 3
+  tt.assert_array_equal((grid > 0), (grid8 > 0))

@@ -290,3 +290,24 @@ def test_train_step_fast_paths_taken_on_space_mesh(space_mesh, monkeypatch):
     else:
       assert c["skip_gather"] == 0 and c["fgbg"] == 0, c
   tt.assert_allclose(losses[True], losses[False], rtol=2e-5)
+
+
+def test_scoped_mesh_and_host_local_mesh():
+  """Eval traces run under a scoped registry (ADVICE r3): single-process,
+  every device is addressable, so per-host programs may keep the
+  registered mesh; the scope restores on exit."""
+  mesh = mesh_lib.create_mesh(data=4, space=1, devices=jax.devices()[:4])
+  try:
+    kernel_sharding.register_mesh(mesh)
+    assert kernel_sharding.mesh_for_host_local_programs() is mesh
+    with kernel_sharding.scoped_mesh(None):
+      assert kernel_sharding.registered_mesh() is None
+      assert kernel_sharding.kernel_mode(8) is None
+    assert kernel_sharding.registered_mesh() is mesh
+    other = mesh_lib.create_mesh(data=2, space=1, devices=jax.devices()[:2])
+    with kernel_sharding.scoped_mesh(other):
+      assert kernel_sharding.kernel_mode(8) is other
+    assert kernel_sharding.registered_mesh() is mesh
+  finally:
+    kernel_sharding.register_mesh(None)
+  assert kernel_sharding.mesh_for_host_local_programs() is None

@@ -243,3 +243,36 @@ def test_corenet_forward_shapes_and_train_step():
   # batch stats advanced
   sample_bn = updates["batch_stats"]["encoder"]["stage1_bn"]["steps"]
   assert int(sample_bn) == 1
+
+
+def test_batch_renorm_bf16_variance_no_cancellation():
+  """The bf16 one-pass variance is SHIFTED by the running mean
+  (ADVICE r3): with activation variance ≪ mean² (post-ReLU tensors with
+  large means), the naive E[x²]−mean² form loses everything to f32
+  cancellation (at mean≈512, f32 resolution of E[x²] is ~0.03 while the
+  true variance is ~1e-4); the shifted form must recover it to ~0.1%."""
+  rng = np.random.default_rng(11)
+  ch, base, momentum = 8, 512.0, 0.01
+  x32 = base + rng.standard_normal((64, 16, 16, ch)).astype(np.float32) * 0.01
+  x = jnp.asarray(x32, jnp.bfloat16)
+  x64 = np.asarray(x, np.float32).astype(np.float64)
+
+  m = BatchRenorm(eps=1e-3, momentum=momentum)
+  variables = m.init(jax.random.PRNGKey(0), x, True)
+  rv = np.ones(ch, np.float32)
+  variables = {
+      "params": variables["params"],
+      "batch_stats": {
+          # Running mean near the activation mean — the trained-state
+          # regime where the shift matters (and is available).
+          "mean": jnp.full((ch,), base, jnp.float32),
+          "var": jnp.asarray(rv),
+          "steps": jnp.asarray(10_000, jnp.int32),
+      },
+  }
+  _, updated = m.apply(variables, x, True, mutable=["batch_stats"])
+  new_var = np.asarray(updated["batch_stats"]["var"], np.float64)
+  # Invert the running update to recover the batch variance estimate.
+  b_var = ((new_var - (1 - momentum) * rv) / momentum) * (ch - 1) / ch
+  exact = x64.reshape(-1, ch).var(axis=0)
+  tt.assert_allclose(b_var, exact, rtol=1e-3)

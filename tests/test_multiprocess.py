@@ -196,3 +196,116 @@ def test_two_process_train_step_matches_single(tmp_path, gt_mode):
   for i, (p, out) in enumerate(zip(procs, outs)):
     assert p.returncode == 0, f"proc {i} failed:\n{out}"
     assert f"proc {i} trainstep ok" in out
+
+
+# Recurrent eval during multi-process training (the ADVICE r3 medium):
+# eval is a PER-HOST program — each process runs its own dataset shard
+# with its OWN number of batches (5 scenes over 2 hosts → 2 batches vs 1)
+# — so its traces must never shard_map over the registered multi-host
+# train mesh (non-addressable devices / lockstep deadlock). The worker
+# registers the global ('data'=2) mesh exactly as a live TrainPipeline
+# would, then runs an EvalPipeline with kernel forcing on; without the
+# scoped-registry fix this deadlocks or errors. Also covers the
+# cross-host qualitative gather: host 0's summary writer must receive
+# tiles for scenes owned by host 1 (evaluation_results.py:166-182).
+_EVAL_WORKER = textwrap.dedent("""
+    import sys, os
+    os.environ["PYTHONPATH"] = ""
+    os.environ["CORENET_FORCE_KERNELS"] = "1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    repo = %r
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    pid = int(sys.argv[1])
+    jax.distributed.initialize(coordinator_address="127.0.0.1:%d",
+                               num_processes=2, process_id=pid,
+                               initialization_timeout=600,
+                               heartbeat_timeout_seconds=900,
+                               shutdown_timeout_seconds=900)
+    assert jax.process_count() == 2
+    sys.path.insert(0, repo)
+    import numpy as np
+    import jax.numpy as jnp
+    from corenet_tpu.config.config import (
+        DataPipeline, Dataset, ShuffleType, DataLoaderConfig,
+        VoxelizationConfig, TaskType, Resolution, EvalConfig)
+    from corenet_tpu.eval.pipeline import EvalPipeline
+    from corenet_tpu.parallel import kernel_sharding, mesh as mesh_lib
+
+    manifest, meshes_dir, out_dir = sys.argv[2], sys.argv[3], sys.argv[4]
+    # Simulate an in-flight training run: the global train mesh is
+    # registered (make_train_step does this at construction).
+    train_mesh = mesh_lib.create_mesh()
+    kernel_sharding.register_mesh(train_mesh)
+
+    data = DataPipeline(
+        datasets=[Dataset(dataset_path=manifest, meshes_dir=meshes_dir,
+                          high_realism=True, shuffle=ShuffleType.NEVER)],
+        shuffle=ShuffleType.NEVER,
+        data_loader=DataLoaderConfig(batch_size=2, num_data_workers=1),
+        voxelization_config=VoxelizationConfig(
+            task_type=TaskType.FG_BG,
+            resolution=Resolution(32, 32, 32),
+            voxelization_image_resolution_multiplier=8))
+    ec = EvalConfig(name="mp_eval", data=data,
+                    num_qualitative_results=2,
+                    num_qualitative_results_in_tensor_board=4)
+
+    class RecordingWriter:
+      def __init__(self):
+        self.images, self.scalars = [], []
+      def add_image(self, tag, img, step):
+        assert np.asarray(img).ndim == 3
+        self.images.append(tag)
+      def add_scalar(self, tag, value, step):
+        self.scalars.append(tag)
+      def flush(self):
+        pass
+
+    writer = RecordingWriter() if pid == 0 else None
+
+    def fake_inference(image, camera, v2x, offsets, resolution):
+      b = image.shape[0]
+      d, h, w = resolution
+      return jax.nn.softmax(jnp.zeros((b, d, h, w, 2), jnp.float32), -1)
+
+    ep = EvalPipeline(ec, out_dir, fake_inference, summary_writer=writer)
+    miou = ep.run_eval(0)
+    assert miou is not None
+    # The registry is restored after eval: training continues on the
+    # global mesh.
+    assert kernel_sharding.registered_mesh() is train_mesh
+    if pid == 0:
+      # 2 own tiles + 2 gathered from host 1's shard.
+      assert len(writer.images) == 4, writer.images
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("done")
+    print(f"proc {pid} recurrenteval ok", flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_recurrent_eval(tmp_path):
+  from helpers import make_fixture_dataset
+  # 5 scenes over 2 hosts → shards of 3 and 2 → DIFFERENT per-host batch
+  # counts (2 vs 1): the shape that deadlocks any accidentally-global
+  # eval program.
+  manifest, meshes_dir = make_fixture_dataset(str(tmp_path / "ds"),
+                                              num_scenes=5, image_size=64)
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  port = 19747
+  script = tmp_path / "eval_worker.py"
+  script.write_text(_EVAL_WORKER % (repo, port))
+  env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+  env.pop("XLA_FLAGS", None)
+  procs = [subprocess.Popen(
+      [sys.executable, str(script), str(i), manifest, meshes_dir,
+       str(tmp_path / f"out{i}")], env=env,
+      stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+      for i in range(2)]
+  outs = [p.communicate(timeout=1200)[0].decode() for p in procs]
+  for i, (p, out) in enumerate(zip(procs, outs)):
+    assert p.returncode == 0, f"proc {i} failed:\n{out}"
+    assert f"proc {i} recurrenteval ok" in out

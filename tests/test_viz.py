@@ -261,3 +261,36 @@ def test_render_scene_with_materials(tmp_path):
   img = render_scene(sc, image_size=(64, 64))
   assert img.shape == (64, 64, 3)
   assert (img != 255).any()  # something rendered
+
+
+def test_qualitative_summary_tiles_deferred(tmp_path):
+  """TB tiles are written by write_summaries (the cross-host gather
+  point), not during add_scene; capped at num_results_in_summary."""
+  from corenet_tpu.eval.qualitative import QualitativeResults
+
+  class RecordingWriter:
+    def __init__(self):
+      self.images = []
+
+    def add_image(self, tag, img, step):
+      self.images.append((tag, np.asarray(img).shape, step))
+
+  pmf = np.zeros((8, 8, 8, 2), np.float32)
+  pmf[..., 0] = 1.0
+  pmf[3:5, 3:5, 3:5] = [0.2, 0.8]
+  gt = np.zeros((8, 8, 8), np.int32)
+  gt[3:5, 3:5, 3:5] = 1
+  g2v = np.eye(4, dtype=np.float32)
+  g2v[:3, :3] /= 8.0
+  writer = RecordingWriter()
+  q = QualitativeResults(str(tmp_path), num_results=2,
+                         num_results_in_summary=1, summary_writer=writer,
+                         image_size=(32, 32))
+  for sid in ("s1", "s2"):
+    q.add_scene(sid, np.zeros((16, 16, 3), np.uint8), pmf, gt,
+                [cube_mesh(0.4, 0.6)], [1], g2v, global_step=7)
+  assert writer.images == []  # deferred until the collective point
+  q.write_summaries(7)
+  assert [t for t, _, _ in writer.images] == ["rec_0"]
+  tag, shape, step = writer.images[0]
+  assert step == 7 and shape == (5 * 32, 5 * 32, 3)
