@@ -85,6 +85,13 @@ class VoxelizationConfig:
   # 1 except for the paper's pre-trained h7 model, which used 2 (a bug kept
   # for bit-exact eval reproduction; configuration.py:141-146).
   voxelization_projection_depth_multiplier: int = 1
+  # Interior-fill rounds for multi-process raster GT (framework extension,
+  # no reference counterpart): 0 = automatic (adaptive exact fixpoint on a
+  # single process; FILL_ROUNDS_STATIC static rounds under multi-process
+  # SPMD, periodically audited against the fixpoint — train/pipeline.py).
+  # Deep-cavity datasets whose audit reports under-fill can raise this
+  # without editing source.
+  voxelization_fill_rounds: int = 0
 
 
 @dataclasses.dataclass

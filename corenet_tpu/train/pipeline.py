@@ -155,17 +155,26 @@ class TrainPipeline:
         config.initial_learning_rate, config.adam_epsilon)
 
     irm = vc.voxelization_image_resolution_multiplier
-    if jax.process_count() > 1 and gt_algorithm == "raster":
+    # Static interior-fill rounds: explicit config value, else
+    # FILL_ROUNDS_STATIC under multi-process SPMD (the adaptive
+    # fixpoint's data-dependent trip count would desync the hosts'
+    # collective schedules), else the exact adaptive fixpoint.
+    self.fill_rounds = vc.voxelization_fill_rounds or None
+    if (self.fill_rounds is None and jax.process_count() > 1
+        and gt_algorithm == "raster"):
+      self.fill_rounds = FILL_ROUNDS_STATIC
+    if self.fill_rounds is not None and gt_algorithm == "raster":
       # Not silent: the static count is exact for every mesh whose
-      # boundary-connected cavities resolve within FILL_ROUNDS_STATIC
+      # boundary-connected cavities resolve within that many
       # straight-line sweeps (real meshes take 2-3); a pathological
-      # winding tunnel with more turns would under-fill, so surface the
-      # choice in the logs (single-process runs use the adaptive
-      # fixpoint, which is exact for any mesh).
-      log.info("multi-process raster GT uses a static %d-round interior "
-               "fill (adaptive fixpoint would desync the hosts' "
-               "collective schedules); raise FILL_ROUNDS_STATIC for "
-               "deeply coiled meshes", FILL_ROUNDS_STATIC)
+      # winding tunnel with more turns would under-fill — so the run
+      # also AUDITS one sample against the exact fixpoint on the
+      # checkpoint cadence (audit_static_fill) and screams on mismatch.
+      log.info("raster GT uses a static %d-round interior fill "
+               "(config voxelization_fill_rounds, or the multi-process "
+               "default); the fill audit runs on the checkpoint cadence",
+               self.fill_rounds)
+    self._last_host_batch = None
     self.train_step = make_train_step(
         self.model, self.optimizer, self.task_type, self.resolution,
         voxelization_kwargs=dict(
@@ -176,8 +185,7 @@ class TrainPipeline:
             projection_depth_multiplier=(
                 vc.voxelization_projection_depth_multiplier),
             max_bbox_pixels=VOXELIZE_WINDOW_PIXELS,
-            fill_rounds=(FILL_ROUNDS_STATIC if jax.process_count() > 1
-                         else None),
+            fill_rounds=self.fill_rounds,
             num_label_values=len(self.classes),
         ),
         # With a non-trivial 'space' axis the GT grid and logits are
@@ -306,11 +314,70 @@ class TrainPipeline:
       for hb, _ in loader:
         got_batch = True
         batch = hb.step_inputs(self.task_type)
+        self._last_host_batch = batch  # host copy for audit_static_fill
         batch = mesh_lib.shard_batch(self.mesh, batch)
         self.state, metrics = self.train_step(self.state, batch)
         yield int(self.state.global_step), metrics
       if not got_batch:
         raise RuntimeError("Empty training dataset")
+
+  def audit_static_fill(self) -> Optional[bool]:
+    """Verifies (on one host-local sample) that the static interior-fill
+    round count reaches the exact fill fixpoint — the under-fill
+    detector for FILL_ROUNDS_STATIC (VERDICT r3 #8). Revoxelizes sample
+    0 of the last host batch without fill and checks that one round
+    beyond the static count changes nothing (voxel/fill.py
+    static_rounds_converged). Cheap (one sample) and host-local (no
+    collectives — safe to run on any cadence on any host).
+
+    Returns True/False (converged / UNDER-FILL, logged as an error), or
+    None when nothing can be audited yet (no batch seen, host-GT mode
+    whose C++ BFS fill is exact, or adaptive fill in use)."""
+    if self.fill_rounds is None or self.gt_algorithm != "raster":
+      return None
+    batch = self._last_host_batch
+    if batch is None or "triangles" not in batch:
+      return None
+    import jax.numpy as jnp
+    from corenet_tpu.parallel import kernel_sharding
+    from corenet_tpu.train import gt as gt_lib
+    from corenet_tpu.voxel.fill import static_rounds_converged
+    if not hasattr(self, "_fill_audit_fn"):
+      vc = self.config.data.voxelization_config
+
+      def audit(triangles, slots, valid, labels, offsets):
+        grid, _ = gt_lib.voxelize_batch(
+            triangles, slots, valid, labels, offsets,
+            resolution=self.resolution,
+            sub_grid_sampling=vc.sub_grid_sampling,
+            image_resolution_multiplier=(
+                vc.voxelization_image_resolution_multiplier),
+            conservative_rasterization=vc.conservative_rasterization,
+            projection_depth_multiplier=(
+                vc.voxelization_projection_depth_multiplier),
+            max_bbox_pixels=VOXELIZE_WINDOW_PIXELS,
+            fill_inside=False,
+            num_label_values=len(self.classes))
+        return static_rounds_converged(grid, self.fill_rounds)
+
+      self._fill_audit_fn = jax.jit(audit)
+    sample = tuple(
+        jnp.asarray(batch[k][:1])
+        for k in ("triangles", "tri_mesh_slot", "tri_valid",
+                  "mesh_labels", "grid_offset"))
+    # Per-host program: never shard_map over a multi-host train mesh.
+    with kernel_sharding.scoped_mesh(
+        kernel_sharding.mesh_for_host_local_programs()):
+      ok = bool(jax.device_get(self._fill_audit_fn(*sample)))
+    if not ok:
+      log.error(
+          "GT INTERIOR-FILL UNDER-FILL DETECTED: the static %d-round "
+          "fill did not reach the exact fixpoint on an audited sample — "
+          "a cavity in this dataset winds more than %d turns and its GT "
+          "is corrupt (outside voxels labeled interior). Raise "
+          "voxelization_fill_rounds in the config.", self.fill_rounds,
+          self.fill_rounds)
+    return ok
 
   def run(self, recurrent_evals: Optional["RecurrentEvals"] = None,
           max_steps: Optional[int] = None,
@@ -329,6 +396,8 @@ class TrainPipeline:
     ev_temp = misc.StepEvent(0, config.checkpoint_interval)
     ev_persistent = misc.StepEvent(0, config.persistent_checkpoint_interval)
     ev_tb = misc.StepEvent(0, config.tensorboard_log_interval)
+    # Fill audit on the checkpoint cadence (no-op under adaptive fill).
+    ev_fill = misc.StepEvent(0, config.checkpoint_interval)
     limit = max_steps if max_steps is not None else config.max_steps
 
     iteration = 0
@@ -367,6 +436,12 @@ class TrainPipeline:
                                         persistent=True)
           elif ev_temp.trigger(prev_step, step):
             self.cpt_manager.save_state(self.state, self._extra_metadata())
+
+        if (self.fill_rounds is not None
+            and ev_fill.trigger(prev_step, step)):
+          ok = self.audit_static_fill()
+          if ok is not None and self.tb_writer:
+            self.tb_writer.add_scalar("gt/fill_audit_ok", float(ok), step)
 
         if recurrent_evals is not None:
           recurrent_evals.run(self, prev_step, step)

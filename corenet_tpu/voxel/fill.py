@@ -43,23 +43,8 @@ def _gated_prefix_or(seed: jnp.ndarray, occupied_cumsum: jnp.ndarray,
   return empty & (r == c)
 
 
-def _outside_mask(empty: jnp.ndarray,
-                  fill_rounds: int | None = None) -> jnp.ndarray:
-  """Empty voxels 6-connected to the grid boundary through empty voxels.
-
-  empty: bool[N, D, H, W]
-  fill_rounds: None runs the adaptive `while_loop` to the exact fixpoint.
-    An int runs exactly that many rounds as a static `fori_loop` — the
-    multi-process-safe mode: the adaptive cond's `jnp.any` over a sharded
-    grid is a per-iteration all-reduce with a data-dependent trip count,
-    which desyncs collective streams across processes when different
-    hosts' grids converge at different rounds. Each round resolves all
-    straight-line reachability, so the required count is the number of
-    TURNS in the winding-est cavity — real meshes need a handful
-    (production default: train/pipeline.py FILL_ROUNDS_STATIC).
-  """
-  n, d, h, w = empty.shape
-
+def _sweep_state(empty: jnp.ndarray):
+  """Boundary seed + one-round propagation function for `empty` grids."""
   def boundary(axis):
     idx = jnp.arange(empty.shape[axis])
     size = empty.shape[axis]
@@ -86,6 +71,26 @@ def _outside_mask(empty: jnp.ndarray,
         outside = outside | _gated_prefix_or(
             outside, cums[(axis, reverse)], empty, axis, reverse)
     return outside
+
+  return seed, round_fn
+
+
+def _outside_mask(empty: jnp.ndarray,
+                  fill_rounds: int | None = None) -> jnp.ndarray:
+  """Empty voxels 6-connected to the grid boundary through empty voxels.
+
+  empty: bool[N, D, H, W]
+  fill_rounds: None runs the adaptive `while_loop` to the exact fixpoint.
+    An int runs exactly that many rounds as a static `fori_loop` — the
+    multi-process-safe mode: the adaptive cond's `jnp.any` over a sharded
+    grid is a per-iteration all-reduce with a data-dependent trip count,
+    which desyncs collective streams across processes when different
+    hosts' grids converge at different rounds. Each round resolves all
+    straight-line reachability, so the required count is the number of
+    TURNS in the winding-est cavity — real meshes need a handful
+    (production default: train/pipeline.py FILL_ROUNDS_STATIC).
+  """
+  seed, round_fn = _sweep_state(empty)
 
   if fill_rounds is not None:
     return jax.lax.fori_loop(0, fill_rounds,
@@ -121,3 +126,26 @@ def fill_inside_voxels(grid: jnp.ndarray,
   empty = grid <= 0
   outside = _outside_mask(empty, fill_rounds)
   return jnp.logical_not(outside).astype(grid.dtype)
+
+
+def static_rounds_converged(grid: jnp.ndarray,
+                            fill_rounds: int) -> jnp.ndarray:
+  """Whether `fill_rounds` static rounds reach the exact fill fixpoint on
+  these grids — i.e. one further round changes nothing. The audit for the
+  multi-process static-round mode (train/pipeline.py FILL_ROUNDS_STATIC):
+  a cavity with more turns than the static count silently under-fills,
+  which this detects at the cost of one extra round on one sample.
+
+  Args:
+    grid: numeric[N, D, H, W]; a voxel is occupied iff > 0.
+    fill_rounds: the static round count in production use.
+
+  Returns:
+    bool[] scalar (jittable), True = the static count is exact here.
+  """
+  assert grid.ndim == 4
+  empty = grid <= 0
+  seed, round_fn = _sweep_state(empty)
+  outside = jax.lax.fori_loop(0, fill_rounds,
+                              lambda _, o: round_fn(o), seed)
+  return jnp.logical_not(jnp.any(round_fn(outside) != outside))

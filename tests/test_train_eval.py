@@ -128,7 +128,9 @@ def test_train_eval_end_to_end(tmp_path):
         voxelization_config=VoxelizationConfig(
             task_type=TaskType.SEMANTIC,
             resolution=Resolution(32, 32, 32),
-            voxelization_image_resolution_multiplier=2))
+            voxelization_image_resolution_multiplier=2,
+            # Exercise the static fill + its convergence audit.
+            voxelization_fill_rounds=6))
 
   config = TrainConfig(
       data=data_pipeline(2),
@@ -152,6 +154,9 @@ def test_train_eval_end_to_end(tmp_path):
   pipeline.run(recurrent_evals=evals)
 
   assert int(pipeline.state.global_step) == 8
+  # Static fill in use (config) and exact on the fixture cubes.
+  assert pipeline.fill_rounds == 6
+  assert pipeline.audit_static_fill() is True
   cpts = pipeline.cpt_manager.list_checkpoints()
   assert cpts, "no checkpoints written"
   assert os.path.exists(

@@ -178,3 +178,44 @@ def test_compose_batch_grid():
   assert out[0, 1, 1, 1] == 2
   assert out[1, 0, 1, 0] == 7
   assert out.sum() == 2 + 2 + 7
+
+
+def _labyrinth_grid(n=32, rings=6):
+  """Solid n³ block with a carved ring-labyrinth corridor open to the
+  boundary: the path from the entrance to the innermost ring crosses
+  every ring through alternating gaps — far more than 6 turns."""
+  yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+  dist = np.minimum.reduce([yy, xx, n - 1 - yy, n - 1 - xx])
+  wall = np.ones((n, n), bool)
+  for k in range(rings):
+    wall[dist == 2 * k + 1] = False           # ring corridors
+  wall[0, n // 2] = False                     # entrance at the boundary
+  for k in range(rings - 1):                  # alternating gaps
+    c = 2 * k + 4 if k % 2 == 0 else n - 5 - 2 * k
+    wall[2 * k + 2, c] = False
+  # The corridor lives in a z-slab: labyrinth slices at z in [8, 24).
+  g = np.ones((n, n, n), np.int32)
+  g[8:24] = np.where(wall, 1, 0)[None, :, :]
+  return g[None]  # [1, D, H, W]
+
+
+def test_static_fill_underfill_detected():
+  """A >6-turn labyrinth under-fills with the 6-round static fill — and
+  static_rounds_converged DETECTS it (VERDICT r3 #8); enough rounds
+  match the adaptive fixpoint; normal shapes converge well within 6."""
+  from corenet_tpu.voxel.fill import static_rounds_converged
+  g = jnp.asarray(_labyrinth_grid())
+  adaptive = np.asarray(voxel.fill_inside_voxels(g))
+  static6 = np.asarray(voxel.fill_inside_voxels(g, fill_rounds=6))
+  wrong = int((static6 != adaptive).sum())
+  assert wrong > 0, "labyrinth did not exceed 6 turns"
+  assert not bool(static_rounds_converged(g, 6))
+  assert bool(static_rounds_converged(g, 64))
+  tt.assert_array_equal(
+      np.asarray(voxel.fill_inside_voxels(g, fill_rounds=64)), adaptive)
+
+  # A hollow cube (the realistic case) converges within 6 rounds.
+  cube = np.zeros((1, 16, 16, 16), np.int32)
+  cube[:, 4:12, 4:12, 4:12] = 1
+  cube[:, 5:11, 5:11, 5:11] = 0
+  assert bool(static_rounds_converged(jnp.asarray(cube), 6))
