@@ -60,12 +60,15 @@ from corenet_tpu.parallel import kernel_sharding
 TILE_N = 2048
 
 
-def _fwd_kernel(px_ref, py_ref, fmap_ref, out_ref, *, g, c):
-  tn = px_ref.shape[1]
+def _fwd_kernel(widx_ref, kidx_ref, fmap_ref, out_ref, *, g, c):
+  # widx: lane-select index within a G-group; kidx: contraction (K)
+  # index. Plain row layout: (px, py); column-blocked (CB > 1):
+  # (px % Wb, py*CB + px//Wb) — see _gather_local.
+  tn = widx_ref.shape[1]
   dt = fmap_ref.dtype
   i = pl.program_id(0)
-  v = px_ref[pl.ds(i, 1), :]  # (1, TN) i32
-  u = py_ref[pl.ds(i, 1), :]  # (1, TN) i32
+  v = widx_ref[pl.ds(i, 1), :]  # (1, TN) i32
+  u = kidx_ref[pl.ds(i, 1), :]  # (1, TN) i32
   h2p = fmap_ref.shape[2]
   rowhot_t = (jax.lax.broadcasted_iota(jnp.int32, (h2p, tn), 0) == u)
   # bf16 MXU matmuls accumulate in f32 natively; HIGHEST is only legal
@@ -85,13 +88,13 @@ def _fwd_kernel(px_ref, py_ref, fmap_ref, out_ref, *, g, c):
   out_ref[0] = jnp.transpose(picked, (1, 0)).astype(out_ref.dtype)
 
 
-def _bwd_kernel(px_ref, py_ref, dout_ref, dfmap_ref, *, g, c):
+def _bwd_kernel(widx_ref, kidx_ref, dout_ref, dfmap_ref, *, g, c):
   h2p = dfmap_ref.shape[2]
-  tn = px_ref.shape[1]
+  tn = widx_ref.shape[1]
   dt = dout_ref.dtype
   i = pl.program_id(0)
-  v = px_ref[pl.ds(i, 1), :]  # (1, TN) i32
-  u = py_ref[pl.ds(i, 1), :]  # (1, TN) i32
+  v = widx_ref[pl.ds(i, 1), :]  # (1, TN) i32
+  u = kidx_ref[pl.ds(i, 1), :]  # (1, TN) i32
   prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
   # dout arrives voxel-major (TN, C) — the forward's output layout, so
   # XLA inserts no relayout; the small per-tile block is turned C-major
@@ -162,27 +165,58 @@ def _make(b, n, g, h2p, c, dt_name, interpret):
 
 
 def _gather_local(fmap_padded, px, py, *, interpret):
-  """The single-shard gather (see `skip_gather`); batch = local batch."""
+  """The single-shard gather (see `skip_gather`); batch = local batch.
+
+  Column blocking: the contraction dim K pads to 128 lanes, so a small
+  feature map (H2 < 128 rows) wastes most of the matmul — pack
+  CB = 128 // H2 column-blocks of the image into K instead. The kernel
+  is unchanged (it contracts a one-hot over K and lane-selects within a
+  G-wide group); the prep just keys K by (row, column-block) and G by
+  the within-block offset:
+
+    fmapx[b, c*G + (x % Wb), y*CB + x // Wb] = fmap[b, y, x, c]
+    kidx = py*CB + px // Wb      (the one-hot contraction index)
+    widx = px % Wb               (the lane-select index)
+
+  with Wb = ceil(W2 / CB), G = 8-padded Wb. CB = 1 reduces to the plain
+  row layout (kidx = py, widx = px). For the production skip_4 map
+  (34² pad, C = 24) this cuts the per-voxel MXU work 2.5x
+  (C·G·K: 24·40·128 → 24·16·128); skip_5 (66²) has CB = 1 — packing two
+  66-row blocks would push K past 128 into a 256-lane pad, a net loss.
+  The gradient of the prep (pad/reshape/transpose) is XLA's, so the
+  kernel's dfmap lands back in [B, H2, W2, C] automatically."""
   b, h2, w2, c = fmap_padded.shape
   n = px.shape[1]
-  h2p = ((h2 + 127) // 128) * 128
-  g = ((w2 + 7) // 8) * 8
-  # [B, H2, W2, C] -> [B, C*G, H2p]: each channel's image row in a
-  # sublane-aligned group (G = 8-padded W2); rows u form the matmul's
-  # contraction dim (lanes). The gradient of this prep (slice +
-  # transpose) is XLA's, so the kernel's dfmap unpads automatically.
-  fmapx = jnp.transpose(fmap_padded, (0, 3, 2, 1))
-  fmapx = jnp.pad(fmapx, ((0, 0), (0, 0), (0, g - w2), (0, h2p - h2)))
-  fmapx = fmapx.reshape(b, c * g, h2p)
-  pad_n = (-n) % TILE_N
-  if pad_n:
-    px = jnp.pad(px, ((0, 0), (0, pad_n)))
-    py = jnp.pad(py, ((0, 0), (0, pad_n)))
   px = px.astype(jnp.int32)
   py = py.astype(jnp.int32)
+  cb = max(1, 128 // h2)
+  wb = -(-w2 // cb)
+  g = ((wb + 7) // 8) * 8
+  h2p = ((h2 * cb + 127) // 128) * 128
+  if cb > 1:
+    fmapx = jnp.pad(fmap_padded,
+                    ((0, 0), (0, 0), (0, cb * wb - w2), (0, 0)))
+    fmapx = fmapx.reshape(b, h2, cb, wb, c)
+    fmapx = jnp.transpose(fmapx, (0, 4, 3, 1, 2))  # [b, c, wb, h2, cb]
+    fmapx = jnp.pad(fmapx,
+                    ((0, 0), (0, 0), (0, g - wb), (0, 0), (0, 0)))
+    fmapx = fmapx.reshape(b, c * g, h2 * cb)
+    fmapx = jnp.pad(fmapx, ((0, 0), (0, 0), (0, h2p - h2 * cb)))
+    kidx = py * cb + px // wb
+    widx = px % wb
+  else:
+    fmapx = jnp.transpose(fmap_padded, (0, 3, 2, 1))
+    fmapx = jnp.pad(fmapx, ((0, 0), (0, 0), (0, g - w2), (0, h2p - h2)))
+    fmapx = fmapx.reshape(b, c * g, h2p)
+    kidx = py
+    widx = px
+  pad_n = (-n) % TILE_N
+  if pad_n:
+    widx = jnp.pad(widx, ((0, 0), (0, pad_n)))
+    kidx = jnp.pad(kidx, ((0, 0), (0, pad_n)))
   gather = _make(b, n + pad_n, g, h2p, c, fmap_padded.dtype.name,
                  interpret)
-  out = gather(fmapx, px, py)
+  out = gather(fmapx, widx, kidx)
   if pad_n:
     out = out[:, :n, :]
   return out

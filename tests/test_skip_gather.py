@@ -39,6 +39,28 @@ def test_matches_take_along_axis(dtype):
     tt.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("h2,w2,c", [(34, 34, 24), (66, 66, 12),
+                                     (18, 18, 16)])
+def test_column_blocked_shapes_exact(h2, w2, c):
+  """Production skip shapes across CB regimes: 34² → CB=3 (the
+  column-blocked layout), 66² → CB=1 (plain rows), 18² → CB=7 with a
+  partial final block. Forward bit-exact, backward parity."""
+  rng = np.random.default_rng(h2)
+  b, n = 2, 2048
+  fmap = jnp.asarray(rng.standard_normal((b, h2, w2, c)), jnp.bfloat16)
+  px = jnp.asarray(rng.integers(0, w2, (b, n)), jnp.int32)
+  py = jnp.asarray(rng.integers(0, h2, (b, n)), jnp.int32)
+  out = skip_gather(fmap, px, py)
+  ref = _ref_gather(fmap, px, py)
+  assert bool((out == ref).all())
+  ct = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+  g1 = jax.grad(lambda f: (skip_gather(f, px, py) * ct).sum())(
+      fmap.astype(jnp.float32))
+  g2 = jax.grad(lambda f: (_ref_gather(f, px, py) * ct).sum())(
+      fmap.astype(jnp.float32))
+  tt.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
 def test_gradient_matches_scatter_add():
   rng = np.random.default_rng(1)
   b, h2, w2, c, n = 2, 12, 7, 3, 1024
