@@ -67,6 +67,11 @@ class ProgramArgs:
       "'auto' (on for eligible FG_BG configs), 'on', or 'off': train the"
       " loss on phase-major final-stage logits, skipping the"
       " full-resolution interleave", default="auto")
+  renorm_ramp_start: int = flags.flag(
+      "Step at which the BatchRenorm r/d ramps engage. -1 = the"
+      " reference's 5000 (bit-parity default); 0 engages renorm"
+      " correction from the first step — an opt-in stabilizer against"
+      " running-stat displacement before the ramps start", default=-1)
   profile_dir: str = flags.flag(
       "When set, capture a jax.profiler trace (xplane) of profile_steps"
       " training iterations into this directory", default="")
@@ -105,7 +110,9 @@ def main(argv=None):
       gt_mode=args.gt_mode, gt_algorithm=args.gt_algorithm,
       compute_dtype=args.compute_dtype,
       decoder_execution=args.decoder_execution,
-      phase_loss={"auto": None, "on": True, "off": False}[args.phase_loss])
+      phase_loss={"auto": None, "on": True, "off": False}[args.phase_loss],
+      renorm_ramp_start=(None if args.renorm_ramp_start < 0
+                         else args.renorm_ramp_start))
   evals = RecurrentEvals(config.eval, config.output_path)
   max_steps = args.max_steps if args.max_steps >= 0 else None
   pipeline.run(recurrent_evals=evals, max_steps=max_steps,

@@ -155,7 +155,16 @@ class EvalPipeline:
 
   def _run_batches(self, loader, gt_fn, task_type, resolution, batch_size,
                    quantitative, qualitative, global_step):
-    for hb, valid in loader:
+    # Rank-0 operator view of every worker's eval progress (heartbeat
+    # files; the reference's ui.py RPC funnel equivalent).
+    progress = None
+    if jax.process_count() > 1:
+      from corenet_tpu.utils.ui import WorkerProgress
+      progress = WorkerProgress(
+          fs.join(self.output_dir, self.config.name, str(global_step)),
+          desc=f"eval:{self.config.name}", interval_sec=30.0)
+    n_batches = len(loader) if hasattr(loader, "__len__") else None
+    for bi, (hb, valid) in enumerate(loader):
       inputs = hb.step_inputs(task_type)
       grid, v2x = gt_fn(inputs["triangles"], inputs["tri_mesh_slot"],
                         inputs["tri_valid"], inputs["mesh_labels"],
@@ -164,6 +173,8 @@ class EvalPipeline:
                               v2x, jnp.asarray(hb.grid_offset), resolution)
       fg_labels = hb.mesh_labels[:, 0]
       quantitative.add_batch(pmf, grid, fg_labels, valid)
+      if progress is not None:
+        progress.report(bi + 1, n_batches)
 
       if qualitative is not None and qualitative.want_more():
         pmf_np = np.asarray(jax.device_get(pmf))

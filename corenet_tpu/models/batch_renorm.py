@@ -23,9 +23,31 @@ import jax
 import jax.numpy as jnp
 
 
+# Step at which the r/d correction ramps engage (the reference's 5000,
+# batch_renorm.py:24-27). Opt-in stabilization (VERDICT r3 #9):
+# set_ramp_start(0) ties train-mode outputs to the running statistics
+# from the first step, damping the running-stat displacement that a loss
+# spike can otherwise cause while the ramps are still off. Process-global
+# (every renorm layer shares it, like the reference's constants); read at
+# trace time, so set it before building the train step. The default
+# reproduces the reference's training dynamics bit-for-bit.
+_RAMP_START = 5000
+
+
+def set_ramp_start(steps: int) -> None:
+  global _RAMP_START
+  _RAMP_START = int(steps)
+
+
+def ramp_start() -> int:
+  return _RAMP_START
+
+
 class BatchRenorm(nn.Module):
   eps: float = 1e-5
   momentum: float = 0.01
+  # Per-instance override of the ramp start; None = the process default.
+  ramp_start: int | None = None
   # When activations are space-to-depth packed (models/packing.py), the
   # channel axis is [phase, fine-channel]; statistics/parameters stay
   # per fine channel, so results are identical to the unpacked layout.
@@ -94,9 +116,10 @@ class BatchRenorm(nn.Module):
 
     if train:
       nt = steps.value.astype(jnp.float32)
-      d_max = jnp.clip(5.0 * (nt - 5000.0) / (25000.0 - 5000.0), 0.0, 5.0)
-      r_max = 1.0 + jnp.clip(2.0 * (nt - 5000.0) / (40000.0 - 5000.0),
-                             0.0, 2.0)
+      s = float(self.ramp_start if self.ramp_start is not None
+                else _RAMP_START)
+      d_max = jnp.clip(5.0 * (nt - s) / 20000.0, 0.0, 5.0)
+      r_max = 1.0 + jnp.clip(2.0 * (nt - s) / 35000.0, 0.0, 2.0)
 
       reduce_axes = tuple(range(x.ndim - 1))
       if x.dtype == jnp.bfloat16:

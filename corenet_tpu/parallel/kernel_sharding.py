@@ -117,7 +117,8 @@ def backend_ok() -> bool:
 
 def kernel_mode(batch: Optional[int],
                 n: Optional[int] = None,
-                allow_space: bool = False) -> Union[str, Mesh, None]:
+                allow_space: bool = False,
+                allow_space_batch: bool = False) -> Union[str, Mesh, None]:
   """How a batch-gridded Pallas kernel can run right now.
 
   Args:
@@ -127,12 +128,19 @@ def kernel_mode(batch: Optional[int],
       dimension (required with allow_space on a 'space'-sharded mesh).
     allow_space: the kernel supports sharding its voxel dimension over
       a non-trivial 'space' axis (skip_gather, fgbg_sums).
+    allow_space_batch: the kernel produces whole per-scene outputs and
+      can consume a non-trivial 'space' axis as EXTRA BATCH parallelism
+      (the GT producers): batch shards over data x space inside the
+      shard_map, and the consumer's sharding constraint reshards the
+      result into the spatial layout (an ICI all-to-all — far cheaper
+      than losing the kernel).
 
   Returns:
     'direct'  — single device: call the kernel directly.
     a Mesh    — wrap the kernel in shard_map over this mesh ('data'
-                only, or 'data'+'space' when allow_space and the mesh
-                has a non-trivial 'space' axis — inspect mesh.shape).
+                only; 'data'+'space' when allow_space / allow_space_batch
+                applies and the mesh has a non-trivial 'space' axis —
+                inspect mesh.shape to pick the specs).
     None      — no safe mapping: use the XLA fallback.
   """
   if jax.device_count() == 1:
@@ -144,26 +152,36 @@ def kernel_mode(batch: Optional[int],
          if name not in ("data", "space")):
     return None
   space = mesh.shape.get("space", 1)
-  if space > 1:
-    if not allow_space or n is None or n % space:
-      return None
   data = mesh.shape.get("data", 1)
-  if data <= 1 and space <= 1:
+  if space > 1:
+    # Voxel route: batch shards over 'data', the voxel dim over 'space'.
+    ok_voxel = (allow_space and n is not None and n % space == 0
+                and (batch is None or data <= 1 or batch % data == 0))
+    # Whole-grid route: batch shards over data x space.
+    ok_batch = (allow_space_batch and batch is not None
+                and batch % (data * space) == 0)
+    if not (ok_voxel or ok_batch):
+      return None
+    return mesh
+  if data <= 1:
     return "direct"
-  if batch is not None and data > 1 and batch % data:
+  if batch is not None and batch % data:
     return None
   return mesh
 
 
-def map_over_data(fn, mesh: Mesh, n_in: int, n_out: int = 1):
-  """shard_map `fn` over the mesh's 'data' axis: every input and output
-  is sharded on its leading (batch) dimension. check_vma off: the bodies
-  carry custom_vjp calls, whose replication rules shard_map cannot
-  verify."""
-  out_specs = P("data") if n_out == 1 else tuple(P("data") for _ in
-                                                range(n_out))
+def map_over_data(fn, mesh: Mesh, n_in: int, n_out: int = 1,
+                  axes=("data",)):
+  """shard_map `fn` over the mesh: every input and output is sharded on
+  its leading (batch) dimension over `axes` — ('data',) for pure data
+  parallelism, ('data', 'space') for whole-grid kernels that consume the
+  'space' axis as extra batch parallelism (kernel_mode
+  allow_space_batch). check_vma off: the bodies carry custom_vjp calls,
+  whose replication rules shard_map cannot verify."""
+  spec = P(tuple(axes)) if len(axes) > 1 else P(axes[0])
+  out_specs = spec if n_out == 1 else tuple(spec for _ in range(n_out))
   return jax.shard_map(fn, mesh=mesh,
-                       in_specs=tuple(P("data") for _ in range(n_in)),
+                       in_specs=tuple(spec for _ in range(n_in)),
                        out_specs=out_specs, check_vma=False)
 
 

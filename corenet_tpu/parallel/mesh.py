@@ -12,6 +12,13 @@ Mesh axes:
   'space' — optional spatial partitioning of the voxel grid's depth axis
             (the moral equivalent of sequence/context parallelism for this
             workload; the grid is the "big dimension"). Default size 1.
+            Perf note: on a 'space' mesh the Pallas fast paths stay
+            active (skip gather / FG_BG loss shard the voxel dim; the
+            blocked raster GT consumes data x space as batch
+            parallelism, kernel_sharding.kernel_mode), but the
+            phase-major loss path is single-shard by contract and turns
+            off — expect a step-time cost vs a pure-'data' mesh of the
+            same size unless activation memory forces the split.
 
 Multi-host: call `jax.distributed.initialize()` before `create_mesh` (see
 cli/train.py); `jax.devices()` then spans all hosts and the same code runs

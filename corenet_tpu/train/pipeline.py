@@ -79,7 +79,8 @@ class TrainPipeline:
                gt_mode: str = "device", gt_algorithm: str = "raster",
                compute_dtype: str = "bfloat16",
                decoder_execution: str = "auto",
-               phase_loss: Optional[bool] = None):
+               phase_loss: Optional[bool] = None,
+               renorm_ramp_start: Optional[int] = None):
     """gt_mode: 'device' voxelizes GT inside the jitted step; 'host'
     computes GT with the native C++ ops in the data-loader threads,
     overlapping device compute (trades host CPU for device time).
@@ -109,6 +110,13 @@ class TrainPipeline:
     assert decoder_execution in ("auto", "fine", "packed")
     self.gt_mode = gt_mode
     self.gt_algorithm = gt_algorithm
+    if renorm_ramp_start is not None:
+      # Opt-in training stabilizer (default keeps reference bit-parity):
+      # engage the renorm r/d ramps at this step instead of 5000.
+      from corenet_tpu.models import batch_renorm
+      batch_renorm.set_ramp_start(renorm_ramp_start)
+      log.info("BatchRenorm r/d ramps engage at step %d (stabilizer)",
+               renorm_ramp_start)
 
     data_axis = self.mesh.shape["data"]
     per_host_batch = config.data.data_loader.batch_size
@@ -398,6 +406,13 @@ class TrainPipeline:
     ev_tb = misc.StepEvent(0, config.tensorboard_log_interval)
     # Fill audit on the checkpoint cadence (no-op under adaptive fill).
     ev_fill = misc.StepEvent(0, config.checkpoint_interval)
+    # Rank-0 operator view of every worker's step progress (the
+    # reference's ui.py:116-231 RPC funnel, as heartbeat files).
+    worker_progress = None
+    if jax.process_count() > 1:
+      from corenet_tpu.utils.ui import WorkerProgress
+      worker_progress = WorkerProgress(self.output_path, desc="train",
+                                       interval_sec=60.0)
     limit = max_steps if max_steps is not None else config.max_steps
 
     iteration = 0
@@ -429,6 +444,8 @@ class TrainPipeline:
           self.tb_writer.add_scalar("loss", loss, step)
           self.tb_writer.flush()
           log.info("step %d loss %.5f", step, loss)
+        if worker_progress is not None:
+          worker_progress.report(step, limit if limit >= 0 else None)
 
         if jax.process_index() == 0:
           if ev_persistent.trigger(prev_step, step):

@@ -110,3 +110,80 @@ def _try_len(iterable) -> Optional[int]:
     return len(iterable)
   except TypeError:
     return None
+
+
+class WorkerProgress:
+  """Rank-0 operator view of EVERY worker's progress.
+
+  The reference funnels per-worker progress to rank 0 over TensorPipe
+  RPC and renders a bar-chart postfix (ui.py:116-231). TPU pods have no
+  RPC sidecar and collectives must not carry control-plane chatter, so
+  the transport here is a per-host JSON heartbeat file under
+  <out>/progress/ (local or gs://): each host `report()`s on a
+  throttle; host 0 additionally renders one bar line per worker from
+  whatever heartbeats exist. Hosts never block on each other, and a
+  crashed/hung worker shows up as a stale heartbeat (age tag) instead
+  of stalling the display — strictly better failure visibility than the
+  reference's blocking gather.
+  """
+
+  def __init__(self, output_dir: str, desc: str = "",
+               interval_sec: float = 30.0,
+               rank: Optional[int] = None,
+               num_ranks: Optional[int] = None,
+               log: Optional[logging.Logger] = None):
+    if rank is None or num_ranks is None:
+      import jax
+      rank = jax.process_index() if rank is None else rank
+      num_ranks = jax.process_count() if num_ranks is None else num_ranks
+    self.rank = rank
+    self.num_ranks = num_ranks
+    self.desc = desc
+    self.interval_sec = interval_sec
+    self.log = log or logging.getLogger(__name__)
+    self.dir = fs.join(output_dir, "progress")
+    fs.makedirs(self.dir)
+    self._start = time.time()
+    self._last = 0.0
+
+  def _path(self, rank: int) -> str:
+    return fs.join(self.dir, f"worker_{rank}.json")
+
+  def report(self, current: int, total: Optional[int] = None,
+             note: str = "", force: bool = False) -> None:
+    """Heartbeat this worker's position; host 0 also renders the view."""
+    now = time.time()
+    if not force and now - self._last < self.interval_sec:
+      return
+    self._last = now
+    import json
+    rate = current / max(now - self._start, 1e-9)
+    fs.write_text(self._path(self.rank), json.dumps({
+        "rank": self.rank, "current": int(current),
+        "total": None if total is None else int(total),
+        "note": note, "time": now, "rate": rate}))
+    if self.rank == 0:
+      self.render()
+
+  def render(self) -> None:
+    """Logs one progress line per worker (host 0's operator view)."""
+    import json
+    now = time.time()
+    lines = []
+    for r in range(self.num_ranks):
+      try:
+        rec = json.loads(fs.read_text(self._path(r)))
+      except Exception:
+        lines.append(f"W{r} |{_bar(0.0)}| (no heartbeat)")
+        continue
+      cur, total = rec.get("current", 0), rec.get("total")
+      age = now - rec.get("time", now)
+      stale = f" STALE {int(age)}s" if age > 3 * self.interval_sec else ""
+      note = f" {rec['note']}" if rec.get("note") else ""
+      if total:
+        lines.append(f"W{r} |{_bar(cur / total)}| {cur}/{total} "
+                     f"({rec.get('rate', 0.0):.2f}/s){note}{stale}")
+      else:
+        lines.append(f"W{r} {cur} ({rec.get('rate', 0.0):.2f}/s)"
+                     f"{note}{stale}")
+    self.log.info("%s workers:\n  %s", self.desc, "\n  ".join(lines))

@@ -58,14 +58,17 @@ def blocked_eligible(*, resolution, sub_grid_sampling,
   d, h, w = resolution
   irm = image_resolution_multiplier
   # On a multi-device TPU mesh the compiled Pallas scatter needs the
-  # shard_map route over a registered pure-data mesh
-  # (parallel/kernel_sharding.py — each device voxelizes its local batch
-  # shard); without one, the general (pure-XLA) voxelizer partitions
-  # automatically, so fall back to it. Interpret-mode backends (the CPU
-  # test mesh) partition the emulated kernel either way.
+  # shard_map route over a registered mesh (parallel/kernel_sharding.py
+  # — each device voxelizes a batch shard; under a non-trivial 'space'
+  # axis the batch shards over data x space and the consumer's sharding
+  # constraint reshards the grids spatially). Without one, the general
+  # (pure-XLA) voxelizer partitions automatically, so fall back to it.
+  # Interpret-mode backends (the CPU test mesh) partition the emulated
+  # kernel either way.
   if (jax.default_backend() == "tpu" and jax.device_count() > 1
-      and not isinstance(kernel_sharding.kernel_mode(batch),
-                         jax.sharding.Mesh)):
+      and not isinstance(
+          kernel_sharding.kernel_mode(batch, allow_space_batch=True),
+          jax.sharding.Mesh)):
     return False
   # Compiled Mosaic needs the packed grid's minor dim (w * d/32 lanes)
   # 128-aligned: d >= 64. At 32³ (lanes = 32, "unsupported unaligned
@@ -330,7 +333,8 @@ def voxelize_blocked_packed(
   # mutable state, and baking it into a module-level jit's trace without
   # keying on it would serve stale executables after a re-registration.
   kernel_sharding.trace_counters["block_scatter"] += 1
-  mode = kernel_sharding.kernel_mode(triangles.shape[0])
+  mode = kernel_sharding.kernel_mode(triangles.shape[0],
+                                     allow_space_batch=True)
   shard_mesh = mode if isinstance(mode, jax.sharding.Mesh) else None
   return _voxelize_blocked_packed(triangles, tri_mesh_slot, view2voxel,
                                   tri_valid, shard_mesh=shard_mesh,
@@ -379,7 +383,14 @@ def _voxelize_blocked_packed(
     return packed
 
   if shard_mesh is not None:
-    return kernel_sharding.map_over_data(core, shard_mesh, n_in=4)(
+    # Under a non-trivial 'space' axis the batch shards over BOTH axes
+    # (each device voxelizes whole scenes); the training step's sharding
+    # constraint then reshards the grids into P('data', 'space') with an
+    # ICI all-to-all — the kernel itself never splits a scene.
+    axes = (("data", "space")
+            if shard_mesh.shape.get("space", 1) > 1 else ("data",))
+    return kernel_sharding.map_over_data(core, shard_mesh, n_in=4,
+                                         axes=axes)(
         triangles, tri_mesh_slot, view2voxel, tri_valid)
   return core(triangles, tri_mesh_slot, view2voxel, tri_valid)
 

@@ -64,6 +64,15 @@ def test_kernel_mode_gates():
         8, n=4095, allow_space=True) is None  # 4095 % 2 != 0
     assert kernel_sharding.kernel_mode(
         8, n=None, allow_space=True) is None  # space needs n
+    # Voxel route still shards batch over 'data': batch 1 (model init)
+    # must fall back, not shard_map a 1-row batch over data=2.
+    assert kernel_sharding.kernel_mode(
+        1, n=4096, allow_space=True) is None
+    # Whole-grid route: batch consumes data x space as parallelism.
+    assert kernel_sharding.kernel_mode(
+        8, allow_space_batch=True) is space_mesh
+    assert kernel_sharding.kernel_mode(
+        6, allow_space_batch=True) is None  # 6 % (2*2) != 0
   finally:
     kernel_sharding.register_mesh(None)
 
@@ -311,3 +320,28 @@ def test_scoped_mesh_and_host_local_mesh():
   finally:
     kernel_sharding.register_mesh(None)
   assert kernel_sharding.mesh_for_host_local_programs() is None
+
+
+def test_blocked_gt_space_mesh_matches_direct(space_mesh):
+  """('data', 'space') mesh: the blocked GT consumes 'space' as extra
+  batch parallelism (whole scenes per device) and must reproduce the
+  single-device result exactly."""
+  from corenet_tpu.train import gt as gt_lib
+  from __graft_entry__ import _example_inputs
+  inp = _example_inputs(4, 64, RESOLUTION, num_tri=24, num_mesh=2)
+  kwargs = dict(resolution=RESOLUTION, image_resolution_multiplier=8,
+                max_bbox_pixels=24, conservative_rasterization=False)
+  args = [jnp.asarray(inp[k]) for k in
+          ("triangles", "tri_mesh_slot", "tri_valid", "mesh_labels",
+           "grid_offset")]
+
+  kernel_sharding.register_mesh(None)
+  direct, _ = gt_lib.voxelize_batch(*args, **kwargs)
+  kernel_sharding.register_mesh(space_mesh)
+  assert kernel_sharding.kernel_mode(
+      4, allow_space_batch=True) is space_mesh
+  _reset_counters()
+  sharded, _ = gt_lib.voxelize_batch(*args, **kwargs)
+  assert kernel_sharding.trace_counters["block_scatter"] > 0
+  assert int(np.asarray(direct).sum()) > 0
+  tt.assert_array_equal(np.asarray(direct), np.asarray(sharded))

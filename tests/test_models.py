@@ -276,3 +276,42 @@ def test_batch_renorm_bf16_variance_no_cancellation():
   b_var = ((new_var - (1 - momentum) * rv) / momentum) * (ch - 1) / ch
   exact = x64.reshape(-1, ch).var(axis=0)
   tt.assert_allclose(b_var, exact, rtol=1e-3)
+
+
+def test_batch_renorm_ramp_start_knob():
+  """Opt-in stabilizer (VERDICT r3 #9): ramp_start=0 engages the r/d
+  correction from step 0 (train output pulled toward running stats),
+  while the default reproduces the reference's step-5000 start (r=1,
+  d=0 → pure batch statistics below 5000). Parameters are unchanged."""
+  from corenet_tpu.models import batch_renorm as br
+  rng = np.random.default_rng(7)
+  x = _rand(rng, 4, 6, 6, 8) * 3 + 1
+  rm = rng.standard_normal(8).astype(np.float32)
+  rv = np.abs(rng.standard_normal(8)).astype(np.float32) + 0.5
+
+  def run(steps, **kw):
+    m = BatchRenorm(eps=1e-3, **kw)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x), True)
+    variables = {
+        "params": variables["params"],
+        "batch_stats": {"mean": jnp.asarray(rm), "var": jnp.asarray(rv),
+                        "steps": jnp.asarray(steps, jnp.int32)},
+    }
+    y, _ = m.apply(variables, jnp.asarray(x), True,
+                   mutable=["batch_stats"])
+    return np.asarray(y)
+
+  base = run(100)
+  stabilized = run(100, ramp_start=0)
+  # At step 100 the default ramps are off; ramp_start=0 has them 100
+  # steps in (d_max=0.025, r_max≈1.006) — a small but real correction.
+  assert np.abs(stabilized - base).max() > 1e-4
+  # The process-global default routes the same knob (set_ramp_start).
+  br.set_ramp_start(0)
+  try:
+    tt.assert_allclose(run(100), stabilized, rtol=1e-6)
+  finally:
+    br.set_ramp_start(5000)
+  tt.assert_allclose(run(100), base, rtol=1e-6)
+  # Far past every ramp, both settings saturate identically.
+  tt.assert_allclose(run(100_000, ramp_start=0), run(100_000), rtol=1e-6)

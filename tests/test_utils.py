@@ -100,3 +100,22 @@ def test_progress_wrapper():
   from corenet_tpu.utils.ui import Progress
   items = list(Progress(range(5), desc="t", interval_sec=0.0))
   assert items == [0, 1, 2, 3, 4]
+
+
+def test_worker_progress_funnel(tmp_path, caplog):
+  """Rank 0 renders every worker's heartbeat (the reference's per-worker
+  progress funnel, ui.py:116-231, as heartbeat files): bars for live
+  workers, a no-heartbeat marker for missing ones."""
+  import logging
+  from corenet_tpu.utils.ui import WorkerProgress
+  w1 = WorkerProgress(str(tmp_path), desc="train", interval_sec=0.0,
+                      rank=1, num_ranks=3)
+  w1.report(50, 100, note="epoch 2")
+  w0 = WorkerProgress(str(tmp_path), desc="train", interval_sec=0.0,
+                      rank=0, num_ranks=3)
+  with caplog.at_level(logging.INFO):
+    w0.report(10, 100)
+  text = caplog.text
+  assert "W0" in text and "10/100" in text
+  assert "W1" in text and "50/100" in text and "epoch 2" in text
+  assert "W2" in text and "no heartbeat" in text
