@@ -16,6 +16,13 @@ if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
   os.environ["XLA_FLAGS"] = (
       os.environ["XLA_FLAGS"] + " --xla_force_host_platform_device_count=8")
 
+# Pin the platform BEFORE jax imports: the TPU plugin self-registers (and
+# may open its tunnel connection) at import time, so a config.update after
+# import still leaves the test process holding the single-client tunnel —
+# starving a concurrent on-chip run (bench/selfcheck) of the backend.
+if not os.environ.get("CORENET_TEST_TPU"):
+  os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
 if not os.environ.get("CORENET_TEST_TPU"):

@@ -18,8 +18,15 @@ Writes one JSON with the full curves; prints tail summaries to stderr.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# Runnable from any cwd: the repo root (parent of tools/) onto sys.path.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for _p in (_REPO, "."):
+  if _p not in sys.path:
+    sys.path.insert(0, _p)
 
 
 def log(msg):
