@@ -47,6 +47,9 @@ def main():
   args = p.parse_args()
 
   import jax
+  jax.config.update("jax_compilation_cache_dir",
+                    os.path.join(_REPO, ".jax_cache"))
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
   import jax.numpy as jnp
   import numpy as np
   from corenet_tpu.models import batch_renorm
@@ -96,11 +99,17 @@ def main():
     fwd = make_eval_forward(eval_model, resolution)
 
     from corenet_tpu.train.gt import voxelize_batch
+    # The IoU yardstick must be the SAME grid the train step fits:
+    # make_train_step leaves conservative_rasterization at its default
+    # (True). The first capture of this run used False here, and the
+    # converged model's batch-stat IoU plateaued at |thin|/|conservative|
+    # ≈ 0.39 against the mismatched thinner grid — a yardstick bug, not
+    # a training pathology.
     gt_grid, v2x = jax.jit(lambda: voxelize_batch(
         inputs["triangles"], inputs["tri_mesh_slot"], inputs["tri_valid"],
         inputs["mesh_labels"], inputs["grid_offset"],
         resolution=resolution, image_resolution_multiplier=irm,
-        max_bbox_pixels=window, conservative_rasterization=False))()
+        max_bbox_pixels=window, conservative_rasterization=True))()
     gt_fg = (np.asarray(jax.device_get(gt_grid)) > 0)
 
     @jax.jit
