@@ -38,11 +38,18 @@ class ProgramArgs:
       "Only evals whose name fully matches run", default=".*")
   max_scenes: int = flags.flag(
       "Evaluate at most this many scenes per eval (<=0: all)", default=-1)
+  compilation_cache_dir: str = flags.flag(
+      "Persistent XLA compilation cache directory; '' = the per-user"
+      " default (~/.cache/corenet_tpu/jax_cache), 'none' disables",
+      default="")
 
 
 def main(argv=None):
   logging.basicConfig(level=logging.INFO)
   args = flags.parse_flags(ProgramArgs, argv)
+
+  from corenet_tpu.utils.jax_cache import enable_compilation_cache
+  enable_compilation_cache(args.compilation_cache_dir)
 
   raw_state, extra = cpt_lib.decode_state(fs.read_bytes(args.checkpoint_path))
   full_config = config_from_dict(TrainPipelineConfig, extra["full_config"])

@@ -31,11 +31,16 @@ class ProgramArgs:
                               repeated=True)
   max_scenes: int = flags.flag("Max scenes to evaluate (<=0: all)",
                                default=-1)
+  compilation_cache_dir: str = flags.flag(
+      "Persistent XLA compilation cache directory; '' = the per-user"
+      " default, 'none' disables", default="")
 
 
 def main(argv=None):
   logging.basicConfig(level=logging.INFO)
   args = flags.parse_flags(ProgramArgs, argv)
+  from corenet_tpu.utils.jax_cache import enable_compilation_cache
+  enable_compilation_cache(args.compilation_cache_dir)
   config = load_config_file(
       args.config_path, TfModelEvalPipeline, set_overrides=args.set,
       template_overrides=parse_template_mapping(args.template_value))

@@ -80,6 +80,11 @@ class ProgramArgs:
       " compile/warmup)", default=20)
   profile_steps: int = flags.flag(
       "Number of iterations to trace", default=10)
+  compilation_cache_dir: str = flags.flag(
+      "Persistent XLA compilation cache directory; '' = the per-user"
+      " default (~/.cache/corenet_tpu/jax_cache), 'none' disables. Makes"
+      " restart-from-checkpoint recovery cheap: a warm restart skips the"
+      " ~10-minute cold compile of the production step", default="")
 
 
 def main(argv=None):
@@ -88,6 +93,9 @@ def main(argv=None):
       format="%(levelname).1s%(asctime)s %(filename)s:%(lineno)d] "
              "%(message)s")
   args = flags.parse_flags(ProgramArgs, argv)
+
+  from corenet_tpu.utils.jax_cache import enable_compilation_cache
+  enable_compilation_cache(args.compilation_cache_dir)
 
   if args.multihost:
     import jax
