@@ -145,7 +145,12 @@ def phased_gt(packed: jnp.ndarray, s: int,
 
   Output values are exact 0/1 (the caller ORs mesh slots first — FG_BG
   GT). On a multi-device pure-data mesh the kernel runs per batch shard
-  under shard_map (parallel/kernel_sharding.py)."""
+  under shard_map (parallel/kernel_sharding.py); under a non-trivial
+  'space' axis the batch shards over data x space (each device phases
+  whole scenes — the kernel is batch-gridded, so per-shard semantics are
+  exact) and the training step's sharding constraint reshards the result
+  into P('data', 'space') with an ICI all-to-all, the same route the
+  blocked rasterizer takes (voxel/raster_fast.py)."""
   assert s in (2, 4)
   b, h, w, nw = packed.shape
   assert h % s == 0 and w % s == 0 and 32 % s == 0
@@ -164,7 +169,10 @@ def phased_gt(packed: jnp.ndarray, s: int,
     return fn(words, _pfat(s, w))
 
   kernel_sharding.trace_counters["phased_gt"] += 1
-  mode = kernel_sharding.kernel_mode(b)
+  mode = kernel_sharding.kernel_mode(b, allow_space_batch=True)
   if isinstance(mode, Mesh):
-    return kernel_sharding.map_over_data(call, mode, n_in=1)(packed)
+    axes = (("data", "space") if mode.shape.get("space", 1) > 1
+            else ("data",))
+    return kernel_sharding.map_over_data(call, mode, n_in=1,
+                                         axes=axes)(packed)
   return call(packed)

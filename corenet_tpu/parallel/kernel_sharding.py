@@ -26,10 +26,13 @@ their voxel dimension is itself shardable:
   * fgbg_sums reduces voxels to per-scene scalars — each device reduces
     its shard and psums the partial sums over 'space' in-body.
 
-The remaining kernels (block_scatter / the blocked rasterizer,
-phased_gt) keep the XLA fallback under 'space': their outputs are whole
-per-scene grids a batch-gridded kernel cannot produce shard-locally
-(and the phase-loss path is single-shard by contract).
+The whole-grid producers (block_scatter / the blocked rasterizer, and
+phased_gt) stay active under 'space' through the allow_space_batch
+route: their outputs are whole per-scene grids a batch-gridded kernel
+cannot split shard-locally, so the batch shards over data x space
+(each device produces whole scenes) and the training step's sharding
+constraint reshards the result into P('data', 'space') with an ICI
+all-to-all — far cheaper than losing the kernel.
 
 The registry is process-global by design: a process trains over exactly
 one mesh (TrainPipeline registers it at construction; make_train_step

