@@ -139,6 +139,7 @@ def test_train_eval_end_to_end(tmp_path):
       persistent_checkpoint_interval=1000,
       tensorboard_log_interval=2,
       initial_learning_rate=4e-4,
+      fill_audit_interval=4,  # own cadence, decoupled from checkpoints
       max_steps=8)
 
   rec = RecurrentEvalConfig(
@@ -151,11 +152,21 @@ def test_train_eval_end_to_end(tmp_path):
   out = str(tmp_path / "out")
   pipeline = TrainPipeline(config, out, mesh=mesh)
   evals = RecurrentEvals([rec], out)
+  audit_calls = []
+  real_audit = pipeline.audit_static_fill
+  pipeline.audit_static_fill = lambda: audit_calls.append(
+      real_audit()) or audit_calls[-1]
   pipeline.run(recurrent_evals=evals)
 
   assert int(pipeline.state.global_step) == 8
   # Static fill in use (config) and exact on the fixture cubes.
   assert pipeline.fill_rounds == 6
+  # The audit runs on ITS OWN StepEvent (fill_audit_interval=4 →
+  # triggers at steps 4 and 8) plus once at the first step, and every
+  # audited sample converged (VERDICT r4 #8).
+  assert audit_calls == [True, True, True]
+  # Successive audits rotate through batch samples (2 per host batch).
+  assert pipeline._fill_audit_count == 3
   assert pipeline.audit_static_fill() is True
   cpts = pipeline.cpt_manager.list_checkpoints()
   assert cpts, "no checkpoints written"
