@@ -73,11 +73,18 @@ def main():
   total_by_name = collections.Counter()
   count_by_name = collections.Counter()
   busy_us = 0.0
+  envelope_us = 0.0
   for e in events:
     if e.get("ph") != "X" or e.get("pid") not in dev:
       continue
     dur = float(e.get("dur", 0.0))
     name = e.get("name", "?")
+    # Envelope slices (the whole-module "jit_step(...)" span and the
+    # bare-numbered per-step spans) CONTAIN the op slices — counting
+    # them would double every per-op number and the busy total.
+    if name.startswith("jit_") or name.isdigit():
+      envelope_us += dur
+      continue
     total_by_name[name] += dur
     count_by_name[name] += 1
     busy_us += dur
@@ -85,8 +92,10 @@ def main():
   denom = args.steps or 1
   print(f"trace: {trace}", file=sys.stderr)
   print(f"device slices: {sum(count_by_name.values())}  "
-        f"busy {busy_us/1e3:.1f} ms"
-        + (f"  ({busy_us/1e3/denom:.2f} ms/step)" if args.steps else ""),
+        f"op busy {busy_us/1e3:.1f} ms"
+        + (f"  ({busy_us/1e3/denom:.2f} ms/step)" if args.steps else "")
+        + (f"  [envelopes {envelope_us/1e3:.1f} ms excluded]"
+           if envelope_us else ""),
         file=sys.stderr)
   w = max((len(n) for n, _ in total_by_name.most_common(args.top)),
           default=10)
