@@ -350,6 +350,72 @@ def run_variant(*, gt, tris, batch, image_size, windows, steps, warmup,
   return median, mfu, tflops
 
 
+def run_eval_variant(*, native, output, batch, image_size, windows,
+                     steps, warmup):
+  """Inference throughput (the EvalPipeline's hot path): scenes/s/chip
+  through SuperResolutionInference — m=1 is the native 128³ forward
+  (h5/h7/m7/m9 evals), m=4 with native 32³ is the y1-style m³=64-pass
+  super-resolution (reference super_resolution.py:92-112)."""
+  import os
+  import jax
+  jax.config.update("jax_compilation_cache_dir",
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache"))
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+  import jax.numpy as jnp
+  from corenet_tpu.eval.super_resolution import super_resolution_from_model
+  from corenet_tpu.models.corenet import CoreNet, CoreNetConfig, DecoderConfig
+
+  native = tuple(native)
+  output = tuple(output)
+  model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
+      resolution=native, num_output_channels=2)),
+      compute_dtype=jnp.bfloat16)
+  init_image = jnp.zeros((1, image_size, image_size, 3), jnp.uint8)
+  variables = jax.jit(lambda: model.init(
+      jax.random.PRNGKey(0), init_image, jnp.eye(4)[None],
+      jnp.full((1, 3), 0.5), train=False))()
+  sri = super_resolution_from_model(model, variables, native)
+
+  rng = __import__("numpy").random.RandomState(0)
+  image = jnp.asarray(
+      (rng.rand(batch, image_size, image_size, 3) * 255).astype("uint8"))
+  camera = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (batch, 4, 4))
+  m = float(max(native))
+  v2x = jnp.broadcast_to(
+      jnp.diag(jnp.array([m, m, m, 1.0], jnp.float32)), (batch, 4, 4))
+  offsets = jnp.full((batch, 3), 0.5, jnp.float32)
+
+  def infer():
+    pmf = sri(image, camera, v2x, offsets, output)
+    # Scalar host fetch bounds the async chain (axon transport).
+    return float(jax.device_get(pmf.sum()))
+
+  mult = output[0] // native[0]
+  log(f"[bench] eval variant native={native[0]}^3 output={output[0]}^3 "
+      f"(m^3={mult ** 3} passes) batch={batch}")
+  t0 = time.perf_counter()
+  infer()
+  log(f"[bench] eval compile+first batch {time.perf_counter() - t0:.1f}s")
+  for _ in range(warmup):
+    infer()
+
+  tputs = []
+  for w in range(windows):
+    t0 = time.perf_counter()
+    for _ in range(steps):
+      infer()
+    dt = time.perf_counter() - t0
+    tputs.append(batch * steps / dt)
+    log(f"[bench] eval window {w}: {dt:.3f}s for {steps} batches "
+        f"→ {tputs[-1]:.1f} scenes/s")
+  n_chips = len(jax.devices())
+  median = statistics.median(tputs) / n_chips
+  log(f"[bench] eval median {median:.1f} scenes/s/chip "
+      f"(min {min(tputs):.1f}, max {max(tputs):.1f})")
+  return median
+
+
 def main():
   p = argparse.ArgumentParser()
   p.add_argument("--gt", choices=["parity", "raster"], default="raster")
@@ -376,6 +442,12 @@ def main():
   p.add_argument("--cost-only", action="store_true",
                  help="print the step's analytic FLOPs from a CPU "
                       "lowering and exit (used internally for MFU)")
+  p.add_argument("--mode", choices=["train", "eval"], default="train",
+                 help="train: the headline jitted train step (default; "
+                      "what the driver records). eval: inference "
+                      "throughput — native 128^3 forward AND the "
+                      "y1-style 32^3->128^3 super-resolution (64 "
+                      "passes/scene)")
   args = p.parse_args()
 
   if args.cost_only:
@@ -400,6 +472,24 @@ def main():
   if not ok:
     log("[bench] backend permanently unavailable; emitting error record")
     emit_error("backend_unavailable", diag)
+    return
+
+  if args.mode == "eval":
+    native = run_eval_variant(native=(128, 128, 128),
+                              output=(128, 128, 128), batch=args.batch,
+                              image_size=args.image_size,
+                              windows=args.windows, steps=args.steps,
+                              warmup=args.warmup)
+    y1 = run_eval_variant(native=(32, 32, 32), output=(128, 128, 128),
+                          batch=args.batch, image_size=args.image_size,
+                          windows=args.windows, steps=max(args.steps // 4,
+                                                          2),
+                          warmup=max(args.warmup // 4, 1))
+    print(json.dumps({
+        "metric": "eval_scenes_per_sec_per_chip_128cubed",
+        "value": round(native, 3), "unit": "scenes/sec/chip",
+        "vs_baseline": 0.0,  # the reference publishes no eval throughput
+        "y1_superres_scenes_per_sec_per_chip": round(y1, 3)}))
     return
 
   if args.suite:
