@@ -32,6 +32,9 @@ class ProgramArgs:
   resolution: int = flags.flag("Output grid resolution", default=128)
   high_realism: bool = flags.flag("Use the PBRT render as input",
                                   default=True)
+  packed_inference: bool = flags.flag(
+      "Packed (space-to-depth) decoder execution for eligible models;"
+      " --nopacked_inference forces fine-grid execution", default=True)
 
 
 def main(argv=None):
@@ -89,7 +92,8 @@ def main(argv=None):
     state, _ = cpt_lib.decode_state(fs.read_bytes(args.checkpoint), template)
     inference = super_resolution_from_model(
         model, {"params": state.params, "batch_stats": state.batch_stats},
-        model_config.decoder.resolution)
+        model_config.decoder.resolution,
+        packed_execution=args.packed_inference)
 
   pmf = inference(jnp.asarray(hb.image), jnp.asarray(hb.camera), v2x,
                   jnp.asarray(hb.grid_offset), res)

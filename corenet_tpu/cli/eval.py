@@ -42,6 +42,12 @@ class ProgramArgs:
       "Persistent XLA compilation cache directory; '' = the per-user"
       " default (~/.cache/corenet_tpu/jax_cache), 'none' disables",
       default="")
+  packed_inference: bool = flags.flag(
+      "Run eligible models through the packed (space-to-depth) decoder"
+      " twin — same parameters, better MXU utilization; logits agree"
+      " with the unpacked path within bf16 rounding (on-chip envelope"
+      " in eval/super_resolution.py). --nopacked_inference forces the"
+      " fine-grid execution", default=True)
 
 
 def main(argv=None):
@@ -73,7 +79,8 @@ def main(argv=None):
 
   variables = {"params": state.params, "batch_stats": state.batch_stats}
   inference = super_resolution_from_model(
-      model, variables, model_config.decoder.resolution)
+      model, variables, model_config.decoder.resolution,
+      packed_execution=args.packed_inference)
 
   results = {}
   for rec in full_config.eval:

@@ -236,3 +236,35 @@ def test_packed_conv_transpose_phase_output_matches():
   y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7))
   y = y.reshape(b, 2 * j0, 2 * j1, 2 * j2, 8 * cout)
   tt.assert_array_equal(np.asarray(y), np.asarray(normal))
+
+
+def test_super_resolution_packed_execution_matches_unpacked():
+  """The inference factory's packed-execution twin (default on) must
+  accept the UNPACKED model's variable tree unchanged and produce the
+  same PMFs as packed_execution=False. Run at native 32³ — the y1
+  configuration — which also proves the packing point is even there
+  (decoder.py pack_sp check, ir=(1,1,1))."""
+  import functools
+  from corenet_tpu.eval.super_resolution import super_resolution_from_model
+  from corenet_tpu.models.corenet import CoreNet, CoreNetConfig, DecoderConfig
+
+  res = (32, 32, 32)
+  model = CoreNet(CoreNetConfig(decoder=DecoderConfig(
+      resolution=res, num_output_channels=2)))
+  rng = np.random.default_rng(11)
+  image = jnp.asarray((rng.random((1, 64, 64, 3)) * 255).astype(np.uint8))
+  camera = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (1, 4, 4))
+  v2x = jnp.broadcast_to(
+      jnp.diag(jnp.array([32.0, 32.0, 32.0, 1.0], jnp.float32)), (1, 4, 4))
+  offsets = jnp.full((1, 3), 0.5, jnp.float32)
+  variables = jax.jit(functools.partial(model.init, train=False))(
+      jax.random.PRNGKey(3), image, camera, offsets)
+
+  sri_packed = super_resolution_from_model(model, variables, res)
+  sri_fine = super_resolution_from_model(model, variables, res,
+                                         packed_execution=False)
+  pmf_packed = sri_packed(image, camera, v2x, offsets, res)
+  pmf_fine = sri_fine(image, camera, v2x, offsets, res)
+  assert pmf_packed.shape == (1, 32, 32, 32, 2)
+  tt.assert_allclose(np.asarray(pmf_packed), np.asarray(pmf_fine),
+                     rtol=2e-3, atol=2e-4)
