@@ -386,25 +386,28 @@ def run_eval_variant(*, native, output, batch, image_size, windows,
       jnp.diag(jnp.array([m, m, m, 1.0], jnp.float32)), (batch, 4, 4))
   offsets = jnp.full((batch, 3), 0.5, jnp.float32)
 
-  def infer():
-    pmf = sri(image, camera, v2x, offsets, output)
-    # Scalar host fetch bounds the async chain (axon transport).
-    return float(jax.device_get(pmf.sum()))
+  def run_batches(n):
+    """Queue n inference batches, then one scalar host fetch of the
+    stacked sums bounds the whole window — one tunnel round-trip per
+    window (matching the train bench), not one per batch. The TPU has a
+    single compute stream, so queued independent programs still execute
+    sequentially and the wall time is honest device busy time."""
+    sums = [sri(image, camera, v2x, offsets, output).sum()
+            for _ in range(n)]
+    return float(jax.device_get(jnp.stack(sums).sum()))
 
   mult = output[0] // native[0]
   log(f"[bench] eval variant native={native[0]}^3 output={output[0]}^3 "
       f"(m^3={mult ** 3} passes) batch={batch}")
   t0 = time.perf_counter()
-  infer()
+  run_batches(1)
   log(f"[bench] eval compile+first batch {time.perf_counter() - t0:.1f}s")
-  for _ in range(warmup):
-    infer()
+  run_batches(warmup)
 
   tputs = []
   for w in range(windows):
     t0 = time.perf_counter()
-    for _ in range(steps):
-      infer()
+    run_batches(steps)
     dt = time.perf_counter() - t0
     tputs.append(batch * steps / dt)
     log(f"[bench] eval window {w}: {dt:.3f}s for {steps} batches "
