@@ -37,7 +37,8 @@ GROUP = 8        # triangles per vectorized accumulation group
 UNIFORM = -3     # sentinel at slot 1 of a group whose origins are uniform
 
 
-def _kernel(origin_ref, pw_ref, out_ref, acc_ref, *, h, w, nw):
+def _kernel(origin_ref, pw_ref, out_ref, acc_ref, *, h, w, nw,
+            group=GROUP):
   lanes = w * nw
   chunk = origin_ref.shape[0]
 
@@ -86,14 +87,23 @@ def _kernel(origin_ref, pw_ref, out_ref, acc_ref, *, h, w, nw):
   # The loop is GROUPED: block_scatter_or pre-marks (in plain XLA, nearly
   # free) every GROUP-aligned group whose valid origins are all equal by
   # rewriting slot 0 to the common origin and slot 1 to the UNIFORM
-  # sentinel. Such a group — the overwhelmingly common case once the
-  # production subdivision puts 10-50 triangles in every block run — is
-  # accumulated with one branch-free vector OR over the whole group
-  # (pw of origin<0 rows is all-zero by construction, raster_fast.py
-  # _phase_a, so uniform groups may contain skipped rows). Mixed groups
-  # take the per-element path. This removes the serial per-triangle
-  # scalar control flow that dominated heavy-scene GT (VERDICT r3 #3:
-  # ~8 ms at 12k tris/scene, linear in count).
+  # sentinel. Such a group is accumulated with one branch-free vector OR
+  # over the whole group (pw of origin<0 rows is all-zero by
+  # construction, raster_fast.py _phase_a, so uniform groups may contain
+  # skipped rows). Mixed groups take the per-element path. This removes
+  # the serial per-triangle scalar control flow that dominated
+  # heavy-scene GT (VERDICT r3 #3: ~8 ms at 12k tris/scene, linear).
+  #
+  # Measured structure at the production subdivision (round 5, on chip):
+  # headline ~12k tris/scene → median run length 2, 4022 distinct
+  # origins/scene, uniform-group rate 37.5% (66% at 49k tris); per-unit
+  # costs: flush ≈0.14 µs, uniform group iter ≈0.26 µs, an extra
+  # lax.cond nesting level ≈0.25 µs/group. Tried-and-rejected designs
+  # (A/B records in docs/removed_alternates.md): group sizes >8 (uniform
+  # rate collapses to 0 at 16), run-realignment to group boundaries
+  # (2.6x more group iterations than it saves), and a two-origin
+  # A-prefix/B-suffix fast path (its dispatch/select overhead cost more
+  # than the vectorization won on real run-length mixes).
   def elem_body(t, prev):
     o = origin_ref[t]
 
@@ -115,14 +125,14 @@ def _kernel(origin_ref, pw_ref, out_ref, acc_ref, *, h, w, nw):
     return jnp.where(o >= 0, o, jnp.int32(-1))
 
   def group_body(g, prev):
-    o0 = origin_ref[g * GROUP]
-    uniform = origin_ref[g * GROUP + 1] == UNIFORM
+    o0 = origin_ref[g * group]
+    uniform = origin_ref[g * group + 1] == UNIFORM
 
     def uniform_case(prev):
       def occupied(prev):
-        blk = pw_ref[0, pl.ds(g * GROUP, GROUP)]  # [GROUP, 8, 8*nw]
+        blk = pw_ref[0, pl.ds(g * group, group)]  # [group, 8, 8*nw]
         acc_or = blk[0]
-        for i in range(1, GROUP):
+        for i in range(1, group):
           acc_or = acc_or | blk[i]
 
         @pl.when(o0 == prev)
@@ -144,11 +154,11 @@ def _kernel(origin_ref, pw_ref, out_ref, acc_ref, *, h, w, nw):
       return jax.lax.cond(o0 >= 0, occupied, lambda p: p, prev)
 
     def mixed_case(prev):
-      return jax.lax.fori_loop(g * GROUP, (g + 1) * GROUP, elem_body, prev)
+      return jax.lax.fori_loop(g * group, (g + 1) * group, elem_body, prev)
 
     return jax.lax.cond(uniform, uniform_case, mixed_case, prev)
 
-  last = jax.lax.fori_loop(0, chunk // GROUP, group_body, jnp.int32(-1))
+  last = jax.lax.fori_loop(0, chunk // group, group_body, jnp.int32(-1))
 
   @pl.when(last >= 0)
   def _():
@@ -156,7 +166,8 @@ def _kernel(origin_ref, pw_ref, out_ref, acc_ref, *, h, w, nw):
 
 
 @functools.partial(jax.jit, static_argnames=("meshes", "h", "w", "nw",
-                                             "chunk", "interpret"))
+                                             "chunk", "interpret",
+                                             "group"))
 def block_scatter_or(origins: jnp.ndarray,  # int32[B, T]
                      pw: jnp.ndarray,       # uint32[B, T, 8, 8*NW]
                      *,
@@ -165,7 +176,8 @@ def block_scatter_or(origins: jnp.ndarray,  # int32[B, T]
                      w: int,
                      nw: int,
                      chunk: int = 1024,
-                     interpret: bool | None = None) -> jnp.ndarray:
+                     interpret: bool | None = None,
+                     group: int = GROUP) -> jnp.ndarray:
   """Returns uint32[B, meshes, h, w*nw] OR-accumulated packed grids."""
   b, t = origins.shape
   assert pw.shape == (b, t, DB, DB * nw), pw.shape
@@ -189,7 +201,8 @@ def block_scatter_or(origins: jnp.ndarray,  # int32[B, T]
   # carry all-zero pw, so OR-ing them in is free) gets the common origin
   # at slot 0 and the UNIFORM sentinel at slot 1. All-skip groups mark
   # uniform with origin -1 and are skipped wholesale by the kernel.
-  og = origins.reshape(b, t // GROUP, GROUP)
+  assert group >= 2 and chunk % group == 0, (group, chunk)
+  og = origins.reshape(b, t // group, group)
   vmax = og.max(-1)
   uniform = jnp.all((og == vmax[..., None]) | (og < 0), axis=-1)
   first = jnp.where(uniform, vmax, og[..., 0])
@@ -198,7 +211,7 @@ def block_scatter_or(origins: jnp.ndarray,  # int32[B, T]
       [first[..., None], second[..., None], og[..., 2:]],
       axis=-1).reshape(b, t)
 
-  kernel = functools.partial(_kernel, h=h, w=w, nw=nw)
+  kernel = functools.partial(_kernel, h=h, w=w, nw=nw, group=group)
   return pl.pallas_call(
       kernel,
       grid=(b, nc),

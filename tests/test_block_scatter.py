@@ -6,6 +6,7 @@ runs, runs crossing group and chunk boundaries."""
 import numpy as np
 import numpy.testing as tt
 import jax.numpy as jnp
+import pytest
 
 from corenet_tpu.ops.block_scatter import DB, block_scatter_or
 
@@ -25,10 +26,10 @@ def _reference(origins, pw, meshes, h, w, nw):
   return out
 
 
-def _run_case(origins, pw, meshes, h, w, nw):
+def _run_case(origins, pw, meshes, h, w, nw, group=8):
   got = np.asarray(block_scatter_or(
       jnp.asarray(origins), jnp.asarray(pw),
-      meshes=meshes, h=h, w=w, nw=nw, interpret=True))
+      meshes=meshes, h=h, w=w, nw=nw, interpret=True, group=group))
   want = _reference(origins, pw, meshes, h, w, nw)
   tt.assert_array_equal(got, want)
 
@@ -38,7 +39,8 @@ def _random_pw(rng, b, t, nw):
                       ).astype(np.uint32)
 
 
-def test_block_scatter_run_patterns():
+@pytest.mark.parametrize("group", [2, 8, 16, 32])
+def test_block_scatter_run_patterns(group):
   h = w = 32
   nw, meshes, b = 1, 2, 2
   rng = np.random.default_rng(0)
@@ -61,7 +63,7 @@ def test_block_scatter_run_patterns():
   o[1, 4:12] = origin(0, 5, 5)           # run crossing a group boundary
   pw = _random_pw(rng, b, t, nw)
   pw[o < 0] = 0                          # contract: skipped rows carry 0
-  _run_case(o, pw, meshes, h, w, nw)
+  _run_case(o, pw, meshes, h, w, nw, group=group)
 
 
 def test_block_scatter_mixed_groups_not_merged():
@@ -88,7 +90,8 @@ def test_block_scatter_run_across_chunk_boundary():
   _run_case(o, pw, meshes, h, w, nw)
 
 
-def test_block_scatter_random_fuzz():
+@pytest.mark.parametrize("group", [8, 16, 32])
+def test_block_scatter_random_fuzz(group):
   h = w = 32
   nw, meshes, b, t = 1, 3, 2, 256
   rng = np.random.default_rng(3)
@@ -107,4 +110,37 @@ def test_block_scatter_random_fuzz():
     o[i, skip] = -1
   pw = _random_pw(rng, b, t, nw)
   pw[o < 0] = 0
-  _run_case(o, pw, meshes, h, w, nw)
+  _run_case(o, pw, meshes, h, w, nw, group=group)
+
+
+@pytest.mark.parametrize("group", [4, 8, 16])
+def test_block_scatter_two_origin_groups(group):
+  """Adversarial shapes for the TWO-sentinel (A-prefix/B-suffix) path:
+  clean splits at every k, skips inside both segments, skip at slot 0,
+  B-run continuing into the next group, A reappearing after B (must
+  fall back to the element path), and three origins (ditto)."""
+  h = w = 32
+  nw, meshes, b = 1, 2, 1
+  rng = np.random.default_rng(7)
+
+  def origin(slot, oy, ox):
+    return (slot * h + oy) * w + ox
+
+  oa, ob, oc = origin(0, 0, 0), origin(1, 8, 4), origin(0, 16, 16)
+  rows = []
+  for k in range(1, group):            # every split point
+    rows.extend([oa] * k + [ob] * (group - k))
+  g2 = [-1, oa, -1, ob] + [ob] * (group - 4)      # skips + slot-0 skip
+  rows.extend(g2)
+  rows.extend([oa] * (group // 2) + [ob] * (group - group // 2))
+  rows.extend([ob] * group)                        # B continues
+  rows.extend([oa] * 2 + [ob] * (group - 4) + [oa] * 2)  # A after B: mixed
+  rows.extend([oa] * 2 + [ob] * 2 + [oc] * (group - 4))  # 3 origins: mixed
+  rows.extend([oa, ob] * (group // 2))   # alternating A/B (first!=last,
+                                         # order_ok must reject): mixed
+  t = ((len(rows) + group - 1) // group) * group
+  o = np.full((b, t), -1, np.int32)
+  o[0, :len(rows)] = rows
+  pw = _random_pw(rng, b, t, nw)
+  pw[o < 0] = 0
+  _run_case(o, pw, meshes, h, w, nw, group=group)
