@@ -130,6 +130,15 @@ def super_resolution_inference_factory(model,
   if packed_execution:
     model = _packed_execution_twin(model)
 
+  # Of the per-pass inputs, only the in-voxel sample offsets vary across
+  # the m³ lattice: the image (hence the whole ResNet50 encoder) and
+  # voxel→screen = camera @ v2x⁻¹ are offset-invariant. When the model
+  # exposes the encode/decode split (CoreNet does), encode ONCE and map
+  # only the decoder over the offsets — the reference re-runs the full
+  # network per pass (super_resolution.py:92-112), paying the encoder
+  # m³ times for identical results.
+  split = hasattr(type(model), "encode") and hasattr(type(model), "decode")
+
   def single(variables, image, camera, v2x, grid_offset):
     v2s = compute_v2s(camera, v2x)
     logits = model.apply(variables, image, v2s, grid_offset, train=False)
@@ -137,6 +146,19 @@ def super_resolution_inference_factory(model,
 
   @jax.jit
   def multi(variables, image, camera, v2x, grid_offsets):
+    if split:
+      v2s = compute_v2s(camera, v2x)
+      features = model.apply(variables, image, train=False,
+                             method="encode")
+
+      def decode_one(grid_offset):
+        logits = model.apply(variables, features, v2s, grid_offset,
+                             train=False, method="decode")
+        return jax.nn.softmax(logits, axis=-1)
+
+      if use_lax_map:
+        return jax.lax.map(decode_one, grid_offsets)
+      return jax.vmap(decode_one)(grid_offsets)
     if use_lax_map:
       return jax.lax.map(
           functools.partial(single, variables, image, camera, v2x),

@@ -49,7 +49,23 @@ class CoreNet(nn.Module):
   # ReconstructionDecoder.phase_output) for the training-loss fast path.
   phase_output: bool = False
 
-  @nn.compact
+  def setup(self):
+    # Attribute names pin the parameter scopes ("encoder"/"decoder") —
+    # the tree is identical to the original single-compact layout, so
+    # checkpoints and importers are unaffected.
+    dc = self.config.decoder
+    self.encoder = ResNet50FeatureExtractor(compute_dtype=self.compute_dtype)
+    self.decoder = ReconstructionDecoder(
+        resolution=tuple(dc.resolution),
+        num_output_channels=dc.num_output_channels,
+        last_upscale_factor=dc.last_upscale_factor,
+        latent_channels=dc.latent_channels,
+        skip_fraction=dc.skip_fraction,
+        compute_dtype=self.compute_dtype,
+        packed=self.packed_decoder,
+        pack_from_stage=self.pack_from_stage,
+        phase_output=self.phase_output)
+
   def __call__(self, image: jnp.ndarray,
                voxel_projection_matrix: jnp.ndarray,
                voxel_sample_locations: jnp.ndarray,
@@ -65,19 +81,22 @@ class CoreNet(nn.Module):
     Returns:
       Grid logits, float32[B, depth, height, width, num_output_channels].
     """
-    x = preprocess_image_caffe(image)
-    features = ResNet50FeatureExtractor(
-        name="encoder", compute_dtype=self.compute_dtype)(x, train)
-    dc = self.config.decoder
-    return ReconstructionDecoder(
-        resolution=tuple(dc.resolution),
-        num_output_channels=dc.num_output_channels,
-        last_upscale_factor=dc.last_upscale_factor,
-        latent_channels=dc.latent_channels,
-        skip_fraction=dc.skip_fraction,
-        compute_dtype=self.compute_dtype,
-        packed=self.packed_decoder,
-        pack_from_stage=self.pack_from_stage,
-        phase_output=self.phase_output,
-        name="decoder")(features, voxel_projection_matrix,
+    return self.decode(self.encode(image, train), voxel_projection_matrix,
+                       voxel_sample_locations, train)
+
+  def encode(self, image: jnp.ndarray, train: bool = False):
+    """The offset-invariant half: uint8 image → ResNet50Features.
+
+    Exposed separately (apply(..., method="encode")) so multi-pass
+    inference — super-resolution's m³ shifted offsets — encodes the
+    image ONCE and maps only `decode` over the offset lattice; the
+    reference re-runs the full network per offset
+    (super_resolution.py:92-112)."""
+    return self.encoder(preprocess_image_caffe(image), train)
+
+  def decode(self, features, voxel_projection_matrix: jnp.ndarray,
+             voxel_sample_locations: jnp.ndarray,
+             train: bool = False) -> jnp.ndarray:
+    """ResNet50Features + voxel→screen + in-voxel offsets → grid logits."""
+    return self.decoder(features, voxel_projection_matrix,
                         voxel_sample_locations, train)
