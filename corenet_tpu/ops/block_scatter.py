@@ -56,6 +56,10 @@ def _kernel(origin_ref, pw_ref, out_ref, acc_ref, *, h, w, nw,
     slot = o // (w * h)
     oy_al = (oy // 8) * 8
     ry = oy - oy_al
+    # NOTE (measured, round 5): restructuring the dynamic lane roll to
+    # act on one 128-lane vreg before the repeat (valid because the
+    # repeated row is (DB·nw)-lane periodic) changes nothing on chip —
+    # Mosaic's lowering of the multi-tile roll is not the flush cost.
     pw_t = pltpu.repeat(acc_ref[:], lanes // (DB * nw), axis=1)  # [8, lanes]
     pw_placed = pltpu.roll(pltpu.roll(pw_t, ox * nw, 1), ry, 0)
     lmask = (cell8 >= ox) & (cell8 < ox + DB)

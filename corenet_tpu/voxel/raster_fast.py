@@ -290,6 +290,17 @@ def _phase_a(triangles: jnp.ndarray,      # f32[T, 3, 3]
   cube = shift8(cube, sx, 2)
 
   # Pack z-words: bit position bz + bit-index-in-cube.
+  #
+  # The barrier pins the fusion boundary to the COMPACT cube: without
+  # it XLA fuses the shifts with the (triangle-minor-layout) phase-A
+  # producers and materializes the lo/hi broadcasts at full
+  # [T, 8, 8, NW] before the layout copy the scatter kernel's operand
+  # constraint forces — two NW×-bigger transposing copies plus a
+  # separate select fusion (~3.0 ms/step at the headline load; the
+  # same chain is ~4× at heavy triangle counts). With the barrier the
+  # relayout happens on cube/bz and the whole expansion fuses into one
+  # pass that writes pw in the kernel's layout (~0.7 ms/step).
+  cube, bz = jax.lax.optimization_barrier((cube, bz))
   shift = (bz % 32).astype(jnp.uint32)[:, None, None]
   wd = (bz // 32)[:, None, None]
   lo = cube << shift
